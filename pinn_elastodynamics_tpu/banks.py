@@ -1,0 +1,84 @@
+"""Point banks: fixed-shape, maskable collocation/boundary point sets.
+
+The reference feeds each point family (collocation, IC, per-edge boundary,
+hole surface, distance-regression) through its own placeholders
+(/root/reference/PlateHoleQuarter/train/train.py:114-156).  Here each family
+is a :class:`PointBank` — a pytree of device arrays with an explicit validity
+mask so banks can be padded to shard-friendly static shapes without changing
+any loss value (masked means divide by the true point count).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class PointBank:
+    """A batch of sample points plus per-point attached data.
+
+    Attributes:
+      xyt:    (N, A) coordinates, time last.
+      mask:   (N,) 1.0 for real points, 0.0 for padding.
+      values: named per-point arrays, each (N,) or (N, K) — boundary targets,
+              normals, regression targets, etc.
+    """
+
+    xyt: jax.Array
+    mask: jax.Array
+    values: Dict[str, jax.Array] = dataclasses.field(default_factory=dict)
+
+    @property
+    def n_total(self) -> int:
+        return self.xyt.shape[0]
+
+
+def make_bank(
+    pts: np.ndarray,
+    values: Optional[Dict[str, np.ndarray]] = None,
+    *,
+    dtype=jnp.float32,
+    pad_to_multiple_of: int = 1,
+) -> PointBank:
+    """Build a PointBank from host arrays, padding N up to a multiple.
+
+    Padding rows get mask 0 and contribute nothing to masked means, so a
+    padded bank is loss-equivalent to the unpadded one.
+    """
+    pts = np.asarray(pts)
+    n = pts.shape[0]
+    m = pad_to_multiple_of
+    n_pad = (-n) % m
+    total = n + n_pad
+
+    def pad(a):
+        a = np.asarray(a)
+        if a.ndim == 1:
+            a = a[:, None]
+        widths = [(0, n_pad)] + [(0, 0)] * (a.ndim - 1)
+        return np.pad(a, widths)
+
+    mask = np.concatenate([np.ones(n), np.zeros(n_pad)])
+    vals = {k: jnp.asarray(pad(v), dtype) for k, v in (values or {}).items()}
+    return PointBank(
+        xyt=jnp.asarray(pad(pts), dtype),
+        mask=jnp.asarray(mask, dtype),
+        values=vals,
+    )
+
+
+def masked_mean_square(r: jax.Array, mask: jax.Array) -> jax.Array:
+    """mean(r²) over valid points — the reference's tf.reduce_mean(tf.square)."""
+    if r.ndim > 1:
+        r = r.reshape(r.shape[0])
+    return jnp.sum(r * r * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+
+
+def bank_sizes(banks: Dict[str, PointBank]) -> Dict[str, int]:
+    return {k: b.n_total for k, b in banks.items()}

@@ -1,0 +1,149 @@
+"""Case abstraction: a declarative experiment = model + material + banks +
+loss spec + training pipeline.
+
+The reference hard-codes each case as a standalone script with constants in
+``__main__`` (SURVEY.md §5 "Config/flag system: None").  Here the §2.2 case
+matrix is literally the config schema: every case builds a :class:`Case`
+from a :func:`build`-style function, and a generic runner executes the
+(pretraining-phase → main-phase) pipeline with frozen sub-networks, matching
+train.py:958-968's dist → part → uv curriculum.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..banks import PointBank
+from ..losses.terms import LossSpec
+from ..models.fields import CompositeFieldModel, MLPFieldModel
+from ..ops.elasticity import Material
+from ..train import lbfgs as lbfgs_mod
+from ..train.adam import run_adam
+
+
+@dataclasses.dataclass(frozen=True)
+class Phase:
+    """One optimization phase of a case's pipeline.
+
+    ``trainable``: None = all params; else the composite sub-network key
+    ('uv' | 'dist' | 'part') to train while the rest stay frozen
+    (the reference's var_list mechanism, train.py:220-250).
+    ``loss``: the phase's LossSpec (pretraining phases use their own).
+    ``scale``: loss multiplier (the reference's 1000x for dist/part).
+    """
+
+    name: str
+    loss: LossSpec
+    trainable: Optional[str] = None
+    scale: float = 1.0
+    maxiter: int = 1000
+    ftol: float = 0.0
+
+
+@dataclasses.dataclass
+class Case:
+    name: str
+    model: object  # MLPFieldModel | CompositeFieldModel
+    material: Material
+    plane: str
+    loss: LossSpec                      # main loss
+    banks: Dict[str, PointBank]
+    phases: Tuple[Phase, ...]           # full pipeline incl. main phase
+    lb: Tuple[float, ...]
+    ub: Tuple[float, ...]
+    n_frames: int = 0                   # FEM comparison frames
+    fem_dir: Optional[str] = None
+    eval_grid: Optional[np.ndarray] = None  # (N, ndim) spatial eval points
+    adam_iters: int = 0                 # optional Adam warmup before L-BFGS
+    adam_lr: float = 1e-3
+
+    def init_params(self, seed: int = 1111, dtype=jnp.float32):
+        return self.model.init(jax.random.PRNGKey(seed), dtype)
+
+    def loss_fn(self, spec: LossSpec, scale: float = 1.0) -> Callable:
+        """Pure scalar loss over full params (for L-BFGS)."""
+
+        def fn(params):
+            total, _ = spec.evaluate(self.model, params, self.material, self.banks)
+            return scale * total
+
+        return fn
+
+    def loss_and_aux_fn(self, spec: Optional[LossSpec] = None) -> Callable:
+        spec = spec or self.loss
+
+        def fn(params):
+            total, comps = spec.evaluate(self.model, params, self.material, self.banks)
+            return total, comps
+
+        return fn
+
+    def components(self, params) -> Dict[str, float]:
+        """The reference's ``getloss`` (train.py:588-612): every component."""
+        _, comps = jax.jit(
+            lambda p: self.loss.evaluate(self.model, p, self.material, self.banks)
+        )(params)
+        return {k: float(v) for k, v in comps.items()}
+
+
+def _phase_loss_fn(case: Case, phase: Phase, params):
+    """Build a loss over the phase's trainable subtree with the rest frozen."""
+    if phase.trainable is None:
+        return case.loss_fn(phase.loss, phase.scale), params, lambda p, sub: sub
+
+    frozen = dict(params)
+    key = phase.trainable
+    full_fn = case.loss_fn(phase.loss, phase.scale)
+
+    def sub_fn(sub):
+        return full_fn({**frozen, key: sub})
+
+    def merge(p, sub):
+        out = dict(p)
+        out[key] = sub
+        return out
+
+    return sub_fn, params[key], merge
+
+
+def run_pipeline(
+    case: Case,
+    params=None,
+    *,
+    seed: int = 1111,
+    dtype=jnp.float32,
+    log_every: int = 0,
+    maxiter_override: Optional[Dict[str, int]] = None,
+    on_phase_end: Optional[Callable] = None,
+):
+    """Run every phase of the case's pipeline; returns (params, phase_results)."""
+    if params is None:
+        params = case.init_params(seed, dtype)
+    results = {}
+    for phase in case.phases:
+        maxiter = (maxiter_override or {}).get(phase.name, phase.maxiter)
+        if phase.name == case.phases[-1].name and case.adam_iters:
+            fn_aux = case.loss_and_aux_fn(phase.loss)
+            ar = run_adam(
+                fn_aux, params, case.adam_lr, iters=case.adam_iters,
+                log_every=log_every,
+            )
+            params = ar.params
+        sub_fn, sub0, merge = _phase_loss_fn(case, phase, params)
+        res = lbfgs_mod.minimize(
+            sub_fn,
+            sub0,
+            maxiter=maxiter,
+            ftol=phase.ftol,
+            log_every=log_every,
+        )
+        params = merge(params, res.params)
+        results[phase.name] = res
+        if on_phase_end is not None:
+            on_phase_end(phase, params, res)
+    return params, results

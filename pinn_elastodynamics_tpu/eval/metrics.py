@@ -1,0 +1,36 @@
+"""Quantitative error metrics vs FEM ground truth.
+
+The reference validates only visually (side-by-side scatter contours,
+SURVEY.md §4); these metrics make that check quantitative: relative L2 error
+per field per frame, aggregated across frames.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Sequence
+
+import numpy as np
+
+
+def relative_l2(pred: np.ndarray, ref: np.ndarray, eps: float = 1e-30) -> float:
+    """||pred - ref||₂ / ||ref||₂."""
+    pred = np.asarray(pred).ravel()
+    ref = np.asarray(ref).ravel()
+    return float(np.linalg.norm(pred - ref) / (np.linalg.norm(ref) + eps))
+
+
+def field_errors(
+    pred: Dict[str, np.ndarray], ref: Dict[str, np.ndarray],
+    fields: Sequence[str] = ("u", "v", "s11", "s22", "s12"),
+) -> Dict[str, float]:
+    return {f: relative_l2(pred[f], ref[f]) for f in fields if f in ref}
+
+
+def aggregate(per_frame: Sequence[Dict[str, float]]) -> Dict[str, float]:
+    """Mean relative L2 per field across frames."""
+    out: Dict[str, float] = {}
+    if not per_frame:
+        return out
+    for k in per_frame[0]:
+        out[k] = float(np.mean([d[k] for d in per_frame if k in d]))
+    return out

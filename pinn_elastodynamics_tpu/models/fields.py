@@ -1,0 +1,171 @@
+"""Mixed-variable field models: network outputs are displacements AND stresses.
+
+The reference's model zoo (SURVEY.md §2.2) has two formulations:
+
+* ``second_order`` — 5 outputs [u, v, s11, s22, s12]; momentum balance needs
+  u_tt via nested second-order autodiff
+  (/root/reference/PlateHoleQuarter/train/train.py:358-439).
+* ``first_order``  — 7 outputs [u, v, ut, vt, s11, s22, s12]; velocity is an
+  explicit output so only first derivatives are ever taken
+  (/root/reference/ElasticWaveConfined/ElasticWave.py:282-348).
+
+3D extensions (BASELINE.json config #4) follow the same pattern with vector
+displacement and 6-component stress.
+
+A model is a *static* description (hashable, safe to close over in jit) plus a
+separate params pytree.  ``CompositeFieldModel`` implements the hard-BC
+construction u = P + D·ũ (train.py:382-387) as jet algebra, so derivatives of
+the composite come out of the same fused forward passes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.jet import Jet
+from . import mlp as mlp_mod
+
+SECOND_ORDER = "second_order"
+FIRST_ORDER = "first_order"
+
+# Channel layouts, 2D.
+CH_2D = {
+    SECOND_ORDER: ("u", "v", "s11", "s22", "s12"),
+    FIRST_ORDER: ("u", "v", "ut", "vt", "s11", "s22", "s12"),
+}
+# Channel layouts, 3D (BASELINE.json config #4).
+CH_3D = {
+    SECOND_ORDER: ("u", "v", "w", "s11", "s22", "s33", "s12", "s13", "s23"),
+    FIRST_ORDER: (
+        "u", "v", "w", "ut", "vt", "wt",
+        "s11", "s22", "s33", "s12", "s13", "s23",
+    ),
+}
+
+
+def channel_names(ndim: int, formulation: str) -> Tuple[str, ...]:
+    table = CH_2D if ndim == 2 else CH_3D
+    return table[formulation]
+
+
+@dataclasses.dataclass(frozen=True)
+class FieldSpec:
+    """Static description of what the field network predicts."""
+
+    ndim: int = 2
+    formulation: str = FIRST_ORDER
+
+    @property
+    def n_inputs(self) -> int:
+        return self.ndim + 1  # spatial coords + time
+
+    @property
+    def channels(self) -> Tuple[str, ...]:
+        return channel_names(self.ndim, self.formulation)
+
+    @property
+    def n_outputs(self) -> int:
+        return len(self.channels)
+
+    @property
+    def jet_order(self) -> int:
+        # Second-order formulation needs d²/dt² of the displacement outputs.
+        return 2 if self.formulation == SECOND_ORDER else 1
+
+    def index(self, name: str) -> int:
+        return self.channels.index(name)
+
+
+@dataclasses.dataclass(frozen=True)
+class MLPFieldModel:
+    """Plain MLP field model (soft-BC cases)."""
+
+    spec: FieldSpec
+    hidden: Tuple[int, ...]
+    normalize: bool = False
+    lb: Optional[Tuple[float, ...]] = None
+    ub: Optional[Tuple[float, ...]] = None
+
+    @property
+    def layers(self) -> Tuple[int, ...]:
+        return (self.spec.n_inputs,) + self.hidden + (self.spec.n_outputs,)
+
+    def init(self, key, dtype=jnp.float32):
+        return mlp_mod.init_mlp(key, self.layers, dtype)
+
+    def _norm_args(self):
+        if not self.normalize:
+            return {"lb": None, "ub": None}
+        return {"lb": self.lb, "ub": self.ub}
+
+    def apply(self, params, xyt: jax.Array) -> jax.Array:
+        return mlp_mod.mlp_apply(params, xyt, **self._norm_args())
+
+    def jet(self, params, xyt: jax.Array, order: Optional[int] = None) -> Jet:
+        order = self.spec.jet_order if order is None else order
+        return mlp_mod.mlp_jet(params, xyt, order=order, **self._norm_args())
+
+
+@dataclasses.dataclass(frozen=True)
+class CompositeFieldModel:
+    """Hard-BC composite u = P + D·ũ per output channel (train.py:382-387).
+
+    params pytree: {'uv': ..., 'dist': ..., 'part': ...}.  The ``dist``
+    network is pretrained to regress analytic distance-to-constraint fields
+    and ``part`` to satisfy the IC/BC values; during the main phase both are
+    frozen and only ``uv`` trains (train.py:220-250).
+    """
+
+    spec: FieldSpec
+    uv_hidden: Tuple[int, ...]
+    dist_hidden: Tuple[int, ...]
+    part_hidden: Tuple[int, ...]
+    normalize: bool = False
+    lb: Optional[Tuple[float, ...]] = None
+    ub: Optional[Tuple[float, ...]] = None
+
+    def _sub(self, hidden) -> MLPFieldModel:
+        return MLPFieldModel(
+            spec=self.spec,
+            hidden=hidden,
+            normalize=self.normalize,
+            lb=self.lb,
+            ub=self.ub,
+        )
+
+    @property
+    def uv_net(self) -> MLPFieldModel:
+        return self._sub(self.uv_hidden)
+
+    @property
+    def dist_net(self) -> MLPFieldModel:
+        return self._sub(self.dist_hidden)
+
+    @property
+    def part_net(self) -> MLPFieldModel:
+        return self._sub(self.part_hidden)
+
+    def init(self, key, dtype=jnp.float32) -> Dict:
+        ku, kd, kp = jax.random.split(key, 3)
+        return {
+            "uv": self.uv_net.init(ku, dtype),
+            "dist": self.dist_net.init(kd, dtype),
+            "part": self.part_net.init(kp, dtype),
+        }
+
+    def jet(self, params, xyt: jax.Array, order: Optional[int] = None) -> Jet:
+        order = self.spec.jet_order if order is None else order
+        uv = self.uv_net.jet(params["uv"], xyt, order=order)
+        dist = self.dist_net.jet(params["dist"], xyt, order=order)
+        part = self.part_net.jet(params["part"], xyt, order=order)
+        return part + dist * uv
+
+    def apply(self, params, xyt: jax.Array) -> jax.Array:
+        uv = self.uv_net.apply(params["uv"], xyt)
+        dist = self.dist_net.apply(params["dist"], xyt)
+        part = self.part_net.apply(params["part"], xyt)
+        return part + dist * uv
