@@ -58,9 +58,21 @@ class Case:
     ub: Tuple[float, ...]
     n_frames: int = 0                   # FEM comparison frames
     fem_dir: Optional[str] = None
+    # FEM .mat files may store coordinates in a translated frame (the wave
+    # cases' probe data lives in [0,30]²/[30,60]² while the PINN domain is
+    # centered); add this offset to FEM (x, y) to get PINN coordinates.
+    fem_offset: Tuple[float, float] = (0.0, 0.0)
     eval_grid: Optional[np.ndarray] = None  # (N, ndim) spatial eval points
     adam_iters: int = 0                 # optional Adam warmup before L-BFGS
     adam_lr: float = 1e-3
+
+    @property
+    def max_t(self) -> float:
+        return float(self.ub[-1])
+
+    def frame_time(self, frame: int) -> float:
+        """Time of FEM frame i: t = i · T / (n_frames - 1) (train.py:993-994)."""
+        return frame * self.max_t / (self.n_frames - 1)
 
     def init_params(self, seed: int = 1111, dtype=jnp.float32):
         return self.model.init(jax.random.PRNGKey(seed), dtype)

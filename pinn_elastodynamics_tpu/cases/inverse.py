@@ -1,0 +1,174 @@
+"""Inverse elastodynamics: infer material parameters from sparse sensors.
+
+BASELINE.json config #5: E and rho become trainable leaves optimized jointly
+with the network parameters; supervision is sparse displacement sensors plus
+the same PDE residuals — the mixed-variable formulation makes this natural
+because the constitutive residual ties the stress outputs to strains through
+the unknown E, and the momentum residual ties stress gradients to
+accelerations through the unknown rho.
+
+Material parameters are optimized in log-space (positivity + better
+conditioning).  The sensor bank carries observed (u, v) at scattered
+spacetime points — by default sampled from the reference's FEM ground truth
+for the confined-wave case, so the ground-truth answer is the reference's
+E=2.5, rho=1.0 (ElasticWaveConfined/ElasticWave.py:33-35).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..banks import PointBank, make_bank, masked_mean_square
+from ..losses.terms import LossSpec
+from ..models.fields import FieldSpec, FIRST_ORDER, MLPFieldModel
+from ..ops import residuals as res_ops
+from ..ops.elasticity import Material, PLANE_STRAIN
+
+
+@dataclasses.dataclass(frozen=True)
+class InverseProblem:
+    """Joint (network, material) inverse problem."""
+
+    name: str
+    model: object
+    plane: str
+    mu: float                     # Poisson ratio held fixed (standard practice)
+    E_init: float
+    rho_init: float
+    weights: Tuple[Tuple[str, float], ...] = (
+        ("f_uv", 5.0), ("f_s", 5.0), ("DATA", 10.0),
+    )
+
+    def init_params(self, banks=None, seed: int = 1111, dtype=jnp.float32):
+        del banks
+        return {
+            "net": self.model.init(jax.random.PRNGKey(seed), dtype),
+            "log_E": jnp.asarray(np.log(self.E_init), dtype),
+            "log_rho": jnp.asarray(np.log(self.rho_init), dtype),
+        }
+
+    def material(self, params) -> Material:
+        return Material(
+            E=jnp.exp(params["log_E"]),
+            mu=self.mu,
+            rho=jnp.exp(params["log_rho"]),
+        )
+
+    def loss_and_aux(self, params, banks: Dict[str, PointBank]):
+        mat = self.material(params)
+        spec = self.model.spec
+        net = params["net"]
+
+        jet = self.model.jet(net, banks["collocation"].xyt)
+        res = res_ops.residuals(jet, spec, mat, self.plane)
+        cmask = banks["collocation"].mask
+        comps = {
+            "f_uv": sum(masked_mean_square(res[n], cmask)
+                        for n in res_ops.momentum_group(spec)),
+            "f_s": sum(masked_mean_square(res[n], cmask)
+                       for n in res_ops.stress_group(spec)),
+        }
+
+        sens = banks["sensors"]
+        fields = self.model.apply(net, sens.xyt)
+        obs = sens.values["uv"]
+        iu, iv = spec.index("u"), spec.index("v")
+        comps["DATA"] = (
+            masked_mean_square(fields[:, iu] - obs[:, 0], sens.mask)
+            + masked_mean_square(fields[:, iv] - obs[:, 1], sens.mask)
+        )
+
+        wmap = dict(self.weights)
+        total = sum(wmap.get(k, 0.0) * v for k, v in comps.items())
+        comps["E"] = mat.E
+        comps["rho"] = mat.rho
+        return total, comps
+
+    def loss_fn(self, banks) -> Callable:
+        def fn(params):
+            total, _ = self.loss_and_aux(params, banks)
+            return total
+
+        return fn
+
+
+def sensors_from_fem(
+    fem_dir: str,
+    frames,
+    frame_time: Callable,
+    *,
+    n_per_frame: int = 200,
+    offset: Tuple[float, float] = (0.0, 0.0),
+    seed: int = 0,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Sample sparse (x, y, t) sensor points + observed (u, v) from FEM frames."""
+    from ..eval import fem as fem_mod
+
+    rng = np.random.default_rng(seed)
+    pts, uv = [], []
+    for f in frames:
+        d = fem_mod.load_frame(fem_dir, f)
+        idx = rng.choice(d["x"].shape[0], size=n_per_frame, replace=False)
+        t = frame_time(f)
+        pts.append(np.stack([
+            d["x"][idx] + offset[0], d["y"][idx] + offset[1],
+            np.full(n_per_frame, t),
+        ], axis=1))
+        uv.append(np.stack([d["u"][idx], d["v"][idx]], axis=1))
+    return np.concatenate(pts), np.concatenate(uv)
+
+
+def build(
+    *, seed: int = 1111, scale: float = 1.0, dtype=np.float32,
+    pad_to_multiple_of: int = 1, E_init: float = 1.0, rho_init: float = 0.5,
+    n_sensor_frames: int = 20, sensors_per_frame: int = 200,
+) -> Tuple[InverseProblem, Dict[str, PointBank]]:
+    """Inverse confined-wave problem with FEM sensor data.
+
+    Returns (problem, banks); true answer E=2.5, rho=1.0.
+    """
+    from . import wave_confined
+
+    rng = np.random.default_rng(seed)
+    max_t = 14.0
+    s = lambda n: max(8, int(round(n * scale)))
+
+    model = MLPFieldModel(
+        spec=FieldSpec(ndim=2, formulation=FIRST_ORDER),
+        hidden=(140,) * 6,
+    )
+
+    from ..geometry import sampling as smp
+
+    col = smp.lhs_box((-15, -15, 0.0), (15, 15, max_t), s(120000), rng)
+    col = smp.exclude_disk(col, xc=0, yc=0, r=2.0, strict=True)
+
+    frames = np.linspace(1, 56, n_sensor_frames).astype(int)
+    pts, uv = sensors_from_fem(
+        wave_confined.FEM_DIR, frames,
+        lambda f: f * max_t / 56,
+        n_per_frame=s(sensors_per_frame) if scale < 1 else sensors_per_frame,
+        offset=(-15.0, -15.0), seed=seed,
+    )
+
+    mk = lambda p, v=None: make_bank(
+        p, v, dtype=dtype, pad_to_multiple_of=pad_to_multiple_of
+    )
+    banks = {
+        "collocation": mk(col),
+        "sensors": mk(pts, {"uv": uv}),
+    }
+    problem = InverseProblem(
+        name="inverse_confined_wave",
+        model=model,
+        plane=PLANE_STRAIN,
+        mu=0.25,
+        E_init=E_init,
+        rho_init=rho_init,
+    )
+    return problem, banks

@@ -138,5 +138,6 @@ def build(
         ub=(30.0, 30.0, max_t),
         n_frames=int(max_t * 4 + 1),
         fem_dir=FEM_DIR,
+        fem_offset=(-30.0, -30.0),
         eval_grid=eval_grid(),
     )

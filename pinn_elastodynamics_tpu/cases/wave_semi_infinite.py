@@ -136,5 +136,6 @@ def build(
         ub=(15.0, 15.0, max_t),
         n_frames=int(max_t * 4 + 1),
         fem_dir=FEM_DIR,
+        fem_offset=(-45.0, -45.0),
         eval_grid=eval_grid(),
     )

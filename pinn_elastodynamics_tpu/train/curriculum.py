@@ -1,0 +1,98 @@
+"""Time-horizon curriculum with warm-start checkpoints.
+
+The reference converges the wave cases by training a short horizon, saving the
+pickle, rebuilding the problem with a longer MAX_T, and reloading
+("train 7s → 14s", /root/reference/ElasticWaveConfined/ElasticWave.py:884,1003;
+"10s → 15s → 25s", ElasticWaveInfinite/ElasticWave.py:636,742).  Here that is
+a first-class schedule: a list of (max_t, maxiter) stages over a case-builder
+that accepts ``max_t``; parameters flow between stages and each stage
+checkpoints atomically (optimizer state included — the reference restarts
+L-BFGS cold, which we reproduce since banks change between stages).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+from ..utils.logging import MetricLogger
+from .checkpoint import load_checkpoint, save_checkpoint
+from .lbfgs import minimize
+
+
+@dataclasses.dataclass(frozen=True)
+class Stage:
+    max_t: float
+    maxiter: int
+    adam_iters: int = 0
+    adam_lr: float = 1e-3
+
+
+def run_time_curriculum(
+    case_builder: Callable,  # kwargs incl. max_t -> Case
+    stages: Sequence[Stage],
+    *,
+    params=None,
+    seed: int = 1111,
+    checkpoint_dir: Optional[str] = None,
+    resume: bool = True,
+    log_every: int = 0,
+    logger: Optional[MetricLogger] = None,
+    builder_kwargs: Optional[dict] = None,
+) -> Tuple[object, List[dict]]:
+    """Run the horizon-extension schedule; returns (params, stage_summaries).
+
+    With ``checkpoint_dir`` each completed stage is written atomically as
+    ``stage_<k>_T<max_t>.ckpt`` and, when ``resume`` is set, completed stages
+    are skipped on restart (crash recovery the reference lacks — SURVEY.md §5
+    failure-detection row).
+    """
+    builder_kwargs = builder_kwargs or {}
+    summaries: List[dict] = []
+
+    for k, stage in enumerate(stages):
+        ck_path = (
+            os.path.join(checkpoint_dir, f"stage_{k}_T{stage.max_t:g}.ckpt")
+            if checkpoint_dir else None
+        )
+        if ck_path and resume and os.path.exists(ck_path):
+            state = load_checkpoint(ck_path)
+            params = state["params"]
+            summaries.append({**state["summary"], "resumed": True})
+            continue
+
+        case = case_builder(max_t=stage.max_t, **builder_kwargs)
+        if params is None:
+            params = case.init_params(seed=seed)
+
+        t0 = time.perf_counter()
+        if stage.adam_iters:
+            from .adam import run_adam
+
+            ar = run_adam(
+                case.loss_and_aux_fn(), params, stage.adam_lr,
+                iters=stage.adam_iters, log_every=log_every,
+            )
+            params = ar.params
+        res = minimize(
+            case.loss_fn(case.loss), params,
+            maxiter=stage.maxiter, log_every=log_every,
+        )
+        params = res.params
+        wall = time.perf_counter() - t0
+        summary = {
+            "stage": k,
+            "max_t": stage.max_t,
+            "iters": int(res.n_iters),
+            "final_loss": float(res.final_loss),
+            "wall_seconds": wall,
+        }
+        summaries.append(summary)
+        if logger is not None:
+            logger.log({"event": "curriculum_stage", **summary})
+        if ck_path:
+            save_checkpoint(ck_path, {"params": params, "summary": summary})
+
+    return params, summaries

@@ -1,0 +1,94 @@
+"""Golden parity: the reference's shipped trained networks, run through this
+framework's forward pass, must reproduce the reference's FEM ground truth.
+
+This is the strongest architecture-parity check available without running the
+TF1 code: the shipped pickles (train.py:972-974 artifacts) encode exactly the
+reference's trained models, and its published result is that those models
+match the FEM fields.  If our MLP/composite forward, channel layout, or
+pickle import differed in any way, these errors would blow up.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pinn_elastodynamics_tpu.cases import (
+    plate_hole,
+    wave_confined,
+    wave_infinite,
+    wave_semi_infinite,
+)
+from pinn_elastodynamics_tpu.eval import fem
+from pinn_elastodynamics_tpu.eval.compare import frame_errors
+from pinn_elastodynamics_tpu.train.checkpoint import load_reference_pickle
+
+REF = "/root/reference"
+
+
+def _case_with_params(mod, pickle_paths, scale=0.002):
+    case = mod.build(scale=scale)
+    if isinstance(pickle_paths, dict):
+        params = {
+            k: load_reference_pickle(p, jnp.float64)
+            for k, p in pickle_paths.items()
+        }
+    else:
+        params = load_reference_pickle(pickle_paths, jnp.float64)
+    return case, params
+
+
+def test_golden_plate_hole():
+    case, params = _case_with_params(plate_hole, {
+        "uv": f"{REF}/PlateHoleQuarter/train/uvNN_float64.pickle",
+        "dist": f"{REF}/PlateHoleQuarter/train/distNN_float64.pickle",
+        "part": f"{REF}/PlateHoleQuarter/train/partNN_float64.pickle",
+    })
+    # Frames away from load zero-crossings (t=0, 5, 10 have ~zero fields).
+    for frame in (20, 60):
+        errs = frame_errors(case, params, frame)
+        assert errs["u"] < 0.02, errs
+        assert errs["s11"] < 0.02, errs
+        assert max(errs.values()) < 0.08, errs
+
+
+def test_golden_wave_confined():
+    case, params = _case_with_params(
+        wave_confined, f"{REF}/ElasticWaveConfined/uv_NN_14s_float64_new.pickle"
+    )
+    errs = frame_errors(case, params, 12)  # t = 3.0, mid-pulse
+    assert max(errs.values()) < 0.10, errs
+
+
+def test_golden_wave_semi_infinite():
+    case, params = _case_with_params(
+        wave_semi_infinite, f"{REF}/ElasticWaveSemiInfinite/uv_NN#16s.pickle"
+    )
+    errs = frame_errors(case, params, 16)  # t = 4.0
+    assert max(errs.values()) < 0.10, errs
+
+
+def test_golden_wave_infinite():
+    # The float32-trained case; larger tolerance (reference's own late-time
+    # drift is visible in its result GIFs).
+    case, params = _case_with_params(
+        wave_infinite, f"{REF}/ElasticWaveInfinite/uv_NN_20s.pickle"
+    )
+    errs = frame_errors(case, params, 20)  # t = 5.0
+    assert max(errs.values()) < 0.20, errs
+
+
+def test_fem_frame_counts():
+    """The shipped FEM data has the documented frame counts (SURVEY.md §4)."""
+    assert fem.frame_count(plate_hole.FEM_DIR) == 81
+    assert fem.frame_count(wave_confined.FEM_DIR) == 57
+    assert fem.frame_count(wave_infinite.FEM_DIR) == 81
+    assert fem.frame_count(wave_semi_infinite.FEM_DIR) == 65
+
+
+def test_fem_loader_keys():
+    d = fem.load_frame(plate_hole.FEM_DIR, 0)
+    assert set(d) >= {"x", "y", "u", "v", "s11", "s22", "s12"}
+    n = d["x"].shape[0]
+    assert all(v.shape == (n,) for v in d.values())
+    dw = fem.load_frame(wave_confined.FEM_DIR, 0)
+    assert "amp" in dw and "Mises" in dw
