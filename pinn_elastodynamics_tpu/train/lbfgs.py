@@ -9,16 +9,24 @@ convergence tests — runs inside one jitted ``lax.while_loop`` on the TPU
 Iteration count, final loss, and a full loss history come back in a single
 device→host transfer at the end.
 
+Compilation/runtime notes (TPU):
+  * ``maxiter``, ``ftol``, ``gtol`` are *traced* scalars — changing the
+    budget does not retrigger the (expensive) full-scale compile; only
+    ``memory_size``, ``max_linesearch_steps``, ``history_capacity`` and the
+    loss function itself are static.
+  * scipy's ftol rule ``(f_k - f_{k+1}) <= ftol·max(|f_k|,|f_{k+1}|,1)`` is
+    applied with a *patience* counter: in f32 a single zero-decrease step is
+    common (loss deltas round to 0) and must not abort a 70k-iteration run
+    the way it would in the f64 Fortran path.
 Matches the reference's hyperparameters: memory (maxcor) 50, max line-search
-steps 50, and scipy's ftol stopping rule
-``(f_k - f_{k+1}) <= ftol · max(|f_k|, |f_{k+1}|, 1)``.
+steps 50 (train.py:225-226).
 """
 
 from __future__ import annotations
 
 import dataclasses
 from functools import partial
-from typing import Callable, NamedTuple, Optional
+from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -26,23 +34,24 @@ import optax
 
 
 @dataclasses.dataclass(frozen=True)
-class LBFGSConfig:
-    maxiter: int = 1000
-    memory_size: int = 50        # scipy maxcor=50 (train.py:225)
+class LBFGSStatic:
+    """Compile-relevant configuration (hash → executable cache key)."""
+
+    memory_size: int = 50           # scipy maxcor=50 (train.py:225)
     max_linesearch_steps: int = 50  # scipy maxls=50 (train.py:226)
-    ftol: float = 0.0            # scipy ftol; reference uses ~1e-5*eps
-    gtol: float = 0.0            # inf-norm gradient tolerance
-    log_every: int = 0           # 0 = silent; else jax.debug.print cadence
+    history_capacity: int = 100_000  # loss-history buffer slots
+    log_every: int = 0              # 0 = silent; else jax.debug.print cadence
+    patience: int = 5               # consecutive ftol-flat steps before stop
 
 
 class LBFGSResult(NamedTuple):
     params: object
     final_loss: jax.Array
     n_iters: jax.Array
-    loss_history: jax.Array  # (maxiter,) padded with final loss after n_iters
+    loss_history: jax.Array  # (history_capacity,) padded with final loss
 
 
-def _make_opt(cfg: LBFGSConfig):
+def _make_opt(cfg: LBFGSStatic):
     return optax.lbfgs(
         memory_size=cfg.memory_size,
         linesearch=optax.scale_by_zoom_linesearch(
@@ -56,22 +65,28 @@ def _make_opt(cfg: LBFGSConfig):
 def run_lbfgs(
     loss_fn: Callable,
     params,
-    cfg: LBFGSConfig,
+    cfg: LBFGSStatic,
+    maxiter,
+    ftol,
+    gtol,
 ) -> LBFGSResult:
-    """Minimize ``loss_fn(params) -> scalar`` with device-resident L-BFGS."""
+    """Minimize ``loss_fn(params) -> scalar``; maxiter/ftol/gtol are traced."""
     opt = _make_opt(cfg)
     value_and_grad = optax.value_and_grad_from_state(loss_fn)
 
+    maxiter = jnp.minimum(
+        jnp.asarray(maxiter, jnp.int32), cfg.history_capacity
+    )
     state0 = opt.init(params)
     f0, g0 = jax.value_and_grad(loss_fn)(params)
-    history0 = jnp.zeros((cfg.maxiter,), f0.dtype)
+    history0 = jnp.zeros((cfg.history_capacity,), f0.dtype)
 
     def cond(carry):
-        params, state, f_prev, k, done, _ = carry
-        return jnp.logical_and(k < cfg.maxiter, jnp.logical_not(done))
+        params, state, f_prev, k, flat, done, _ = carry
+        return jnp.logical_and(k < maxiter, jnp.logical_not(done))
 
     def body(carry):
-        params, state, f_prev, k, done, history = carry
+        params, state, f_prev, k, flat, done, history = carry
         f, g = value_and_grad(params, state=state)
         updates, state = opt.update(
             g, state, params, value=f, grad=g, value_fn=loss_fn
@@ -90,20 +105,26 @@ def run_lbfgs(
                 lambda: None,
             )
 
-        # scipy L-BFGS-B ftol test.
+        # scipy L-BFGS-B ftol test, with flat-step patience (f32 robustness).
         denom = jnp.maximum(jnp.maximum(jnp.abs(f_prev), jnp.abs(f_new)), 1.0)
-        ftol_hit = (f_prev - f_new) <= cfg.ftol * denom
+        ftol_hit = (f_prev - f_new) <= ftol * denom
+        flat = jnp.where(ftol_hit, flat + 1, 0)
         gmax = optax.tree.norm(g_new, ord=jnp.inf)
-        gtol_hit = gmax <= cfg.gtol
+        gtol_hit = gmax <= gtol
         nonfinite = jnp.logical_not(jnp.isfinite(f_new))
-        done = jnp.logical_or(jnp.logical_or(ftol_hit, gtol_hit), nonfinite)
-        return params, state, f_new, k + 1, done, history
+        done = jnp.logical_or(
+            jnp.logical_or(flat >= cfg.patience, gtol_hit), nonfinite
+        )
+        return params, state, f_new, k + 1, flat, done, history
 
-    params_f, state_f, f_final, k_final, _, history = jax.lax.while_loop(
-        cond, body, (params, state0, f0, jnp.asarray(0), jnp.asarray(False), history0)
+    params_f, state_f, f_final, k_final, _, _, history = jax.lax.while_loop(
+        cond,
+        body,
+        (params, state0, f0, jnp.asarray(0, jnp.int32),
+         jnp.asarray(0, jnp.int32), jnp.asarray(False), history0),
     )
     # Pad the unused tail of the history with the final loss value.
-    idx = jnp.arange(cfg.maxiter)
+    idx = jnp.arange(cfg.history_capacity)
     history = jnp.where(idx < k_final, history, f_final)
     return LBFGSResult(params_f, f_final, k_final, history)
 
@@ -118,14 +139,28 @@ def minimize(
     ftol: float = 0.0,
     gtol: float = 0.0,
     log_every: int = 0,
+    patience: int = 5,
+    history_capacity: int = 0,
 ) -> LBFGSResult:
-    """Convenience wrapper building the static config."""
-    cfg = LBFGSConfig(
-        maxiter=maxiter,
+    """Convenience wrapper.
+
+    ``history_capacity`` defaults to ``maxiter`` rounded up to the next power
+    of two (so repeated calls with similar budgets share one executable).
+    """
+    if history_capacity <= 0:
+        cap = 1024
+        while cap < maxiter:
+            cap *= 2
+        history_capacity = cap
+    cfg = LBFGSStatic(
         memory_size=memory_size,
         max_linesearch_steps=max_linesearch_steps,
-        ftol=ftol,
-        gtol=gtol,
+        history_capacity=history_capacity,
         log_every=log_every,
+        patience=patience,
     )
-    return run_lbfgs(loss_fn, params, cfg)
+    res = run_lbfgs(loss_fn, params, cfg, maxiter, ftol, gtol)
+    return LBFGSResult(
+        res.params, res.final_loss, res.n_iters,
+        res.loss_history[:maxiter],
+    )
