@@ -4,22 +4,18 @@ Measures the hot op of PINN training — one fused value+grad of the full
 weighted loss (all residuals + BC/IC terms, every derivative from the jet
 forward) on the flagship defected-plate case at reference scale (~105k
 collocation points, composite 8x70 MLP; /root/reference/PlateHoleQuarter/
-train/train.py:885,903-929).
-
-Two timings:
-  * chained (primary): K steps self-feeding inside one jitted lax.scan —
-    the amortized rate a device-resident optimizer loop actually achieves;
-  * blocked: block_until_ready per call — what a host-driven loop (the
-    reference's scipy L-BFGS ping-pong) would pay per iteration.
+train/train.py:885,903-929) — plus the end-to-end device-resident L-BFGS
+iteration rate (each iteration = 1 + #linesearch-trial full evaluations).
 
 Prints ONE JSON line:
   {"metric": "collocation_evals_per_sec", "value": N, "unit": "evals/s",
    "vs_baseline": R, ...}
 
-``vs_baseline`` = TPU chained rate / host-CPU rate on the same jitted step
-(measured on a 1/16-size bank and normalized per point) — a stand-in for the
-reference's host-resident TF1-CPU execution (the reference publishes no
-numbers; BASELINE.md: baselines must be measured, north star >=50x vs CPU).
+``vs_baseline`` is the TPU rate divided by the host-CPU rate for the same
+jitted step (CPU measured on a 1/16-size bank, normalized per point) — a
+stand-in for the reference's host-resident TF1-CPU execution (the reference
+publishes no numbers; BASELINE.md: baselines must be measured, north star
+>=50x vs CPU).
 """
 
 from __future__ import annotations
@@ -27,10 +23,8 @@ from __future__ import annotations
 import argparse
 import json
 import time
-from functools import partial
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 
@@ -50,64 +44,60 @@ def _build(scale: float):
     return case, scalar_loss, params, n_col
 
 
-@partial(jax.jit, static_argnames=("scalar_loss", "k"))
-def _chained_steps(scalar_loss, params, banks, k: int):
-    """k value+grad steps, each feeding the next through a tiny param nudge
-    (prevents any cross-step elision; mimics an optimizer update)."""
-
-    def body(p, _):
-        loss, grads = jax.value_and_grad(scalar_loss)(p, banks)
-        p = jax.tree.map(lambda a, g: a - jnp.asarray(1e-12, a.dtype) * g,
-                         p, grads)
-        return p, loss
-
-    p, losses = jax.lax.scan(body, params, None, length=k)
-    return p, losses
-
-
-def _rate_chained(scalar_loss, params, banks, n_col, k, repeats=3):
-    p, losses = _chained_steps(scalar_loss, params, banks, k)  # compile
-    jax.block_until_ready(losses)
-    best = float("inf")
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        p, losses = _chained_steps(scalar_loss, params, banks, k)
-        jax.block_until_ready(losses)
-        best = min(best, (time.perf_counter() - t0) / k)
-    return n_col / best, best
-
-
 def _rate_blocked(scalar_loss, params, banks, n_col, iters):
     vg = jax.jit(jax.value_and_grad(scalar_loss))
     jax.block_until_ready(vg(params, banks))
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            jax.block_until_ready(vg(params, banks))
+        best = min(best, (time.perf_counter() - t0) / iters)
+    return n_col / best, best
+
+
+def _lbfgs_iter_rate(case, params, iters):
+    """End-to-end segmented L-BFGS per-iteration wall (excl. compile)."""
+    from pinn_elastodynamics_tpu.train.lbfgs import minimize
+
+    loss = case.loss_fn(case.phases[-1].loss)
+    # Warm segment (compiles the segment executable).
+    minimize(loss, params, maxiter=2, segment=2)
     t0 = time.perf_counter()
-    for _ in range(iters):
-        jax.block_until_ready(vg(params, banks))
-    step = (time.perf_counter() - t0) / iters
-    return n_col / step, step
+    res = minimize(loss, params, maxiter=iters, segment=min(50, iters),
+                   ftol=0.0)
+    wall = time.perf_counter() - t0
+    return res.n_iters / wall if wall > 0 else None, res.n_iters
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--scale", type=float, default=1.0)
-    ap.add_argument("--chain", type=int, default=50)
     ap.add_argument("--blocked-iters", type=int, default=10)
-    ap.add_argument("--cpu-scale", type=float, default=1 / 16,
-                    help="CPU comparator bank size relative to --scale")
+    ap.add_argument("--lbfgs-iters", type=int, default=100)
+    ap.add_argument("--cpu-scale", type=float, default=1 / 16)
     ap.add_argument("--cpu-iters", type=int, default=2)
     ap.add_argument("--skip-cpu", action="store_true")
+    ap.add_argument("--skip-lbfgs", action="store_true")
     args = ap.parse_args()
 
     case, scalar_loss, params, n_col = _build(args.scale)
     banks = case.banks
     dev = jax.devices()[0]
 
-    rate_chained, step_chained = _rate_chained(
-        scalar_loss, params, banks, n_col, args.chain
-    )
-    rate_blocked, step_blocked = _rate_blocked(
+    rate, step_s = _rate_blocked(
         scalar_loss, params, banks, n_col, args.blocked_iters
     )
+
+    lbfgs_rate = None
+    lbfgs_iters = None
+    if not args.skip_lbfgs:
+        try:
+            lbfgs_rate, lbfgs_iters = _lbfgs_iter_rate(
+                case, params, args.lbfgs_iters
+            )
+        except Exception:
+            pass
 
     cpu_rate = None
     if not args.skip_cpu:
@@ -125,21 +115,21 @@ def main():
                 for _ in range(args.cpu_iters):
                     jax.block_until_ready(vg(params_cc, banks_cc))
                 step_c = (time.perf_counter() - t0) / args.cpu_iters
-            cpu_rate = n_c / step_c  # per-point rate; size-normalized
+            cpu_rate = n_c / step_c  # per-point rate, size-normalized
         except Exception:
             cpu_rate = None
 
-    vs_baseline = rate_chained / cpu_rate if cpu_rate else None
+    vs_baseline = rate / cpu_rate if cpu_rate else None
     print(json.dumps({
         "metric": "collocation_evals_per_sec",
-        "value": round(rate_chained, 1),
+        "value": round(rate, 1),
         "unit": "evals/s",
         "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
         "device": str(dev),
         "n_collocation": n_col,
-        "step_seconds_chained": round(step_chained, 6),
-        "step_seconds_blocked": round(step_blocked, 6),
-        "evals_per_sec_blocked": round(rate_blocked, 1),
+        "step_seconds": round(step_s, 6),
+        "lbfgs_iters_per_sec": round(lbfgs_rate, 2) if lbfgs_rate else None,
+        "lbfgs_iters_measured": lbfgs_iters,
         "cpu_evals_per_sec": round(cpu_rate, 1) if cpu_rate else None,
     }))
 

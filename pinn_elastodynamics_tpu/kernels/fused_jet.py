@@ -1,0 +1,189 @@
+"""Pallas TPU kernel: whole-network fused jet forward.
+
+The XLA path (models/mlp.py::mlp_jet) materializes the stacked activation
+tensor in HBM between layers.  This kernel keeps the ENTIRE network — all
+layer weights (padded to 128 lanes) plus the stacked value/tangent/dtt
+activations for a block of points — resident in VMEM and runs every layer
+back-to-back per point block, so HBM traffic is one read of the inputs and
+one write of the outputs.
+
+Scope: forward jet evaluation (field rendering, residual probing, inference
+serving).  The training path keeps the XLA jet (full autodiff support); this
+kernel is a performance feature, not a correctness dependency (SURVEY.md
+§7.1 item 7), and is cross-checked against the XLA jet in
+tests/test_pallas_kernel.py (interpret mode on CPU, compiled on TPU).
+
+Weight layout: hidden widths are zero-padded to a multiple of 128 (lane
+width).  Zero rows/columns propagate zeros through matmul and tanh(0)=0, so
+padding is numerically inert.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.mlp import Params
+from ..ops.jet import Jet
+
+LANE = 128
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def pack_params(params: Params) -> Tuple[jax.Array, jax.Array, dict]:
+    """Pad and stack MLP params for the kernel.
+
+    Returns (W, B, meta): W is (L, P, P) with every layer's weight zero-padded
+    to P = max padded width; B is (L, P).  The first layer's input rows sit in
+    W[0, :A, :]; meta records true dims for slicing outputs.
+    """
+    dims = [params[0]["W"].shape[0]] + [l["W"].shape[1] for l in params]
+    p = max(_round_up(int(d), LANE) for d in dims)
+    n_layers = len(params)
+    ws = np.zeros((n_layers, p, p), np.float32)
+    bs = np.zeros((n_layers, p), np.float32)
+    for i, layer in enumerate(params):
+        w = np.asarray(layer["W"], np.float32)
+        b = np.asarray(layer["b"], np.float32)
+        ws[i, : w.shape[0], : w.shape[1]] = w
+        bs[i, : b.shape[0]] = b
+    meta = {"dims": [int(d) for d in dims], "padded": p, "n_layers": n_layers}
+    return jnp.asarray(ws), jnp.asarray(bs), meta
+
+
+def _kernel(x_ref, w_ref, b_ref, out_ref, *, n_layers: int, n_streams: int,
+            block: int, order: int):
+    """One point-block: run all layers over the stacked streams in VMEM.
+
+    x_ref:  (n_streams*block, P) stacked [value; tangents...; dtt] input rows.
+    w_ref:  (L, P, P) padded weights (VMEM-resident, whole network).
+    b_ref:  (L, P) padded biases.
+    out_ref:(n_streams*block, P) stacked outputs.
+    """
+    s = x_ref[0]
+    for l in range(n_layers):
+        z = jnp.dot(s, w_ref[l], preferred_element_type=jnp.float32)
+        if l == n_layers - 1:
+            # Linear head: bias on the value rows only.
+            z = z.at[0:block, :].add(b_ref[l][None, :])
+            s = z
+        else:
+            zv = z[0:block, :] + b_ref[l][None, :]
+            h = jnp.tanh(zv)
+            g = 1.0 - h * h
+            # Tangent streams: dh_i = g * dz_i (g broadcast per point row).
+            n_tan = n_streams - 1 - (1 if order >= 2 else 0)
+            parts = [h]
+            for t in range(n_tan):
+                dz = z[(1 + t) * block:(2 + t) * block, :]
+                parts.append(g * dz)
+            if order >= 2:
+                zt = z[n_tan * block:(1 + n_tan) * block, :]
+                ztt = z[(n_streams - 1) * block: n_streams * block, :]
+                parts.append(g * ztt - 2.0 * h * g * (zt * zt))
+            s = jnp.concatenate(parts, axis=0)
+    out_ref[0] = s
+
+
+@partial(jax.jit, static_argnames=("meta_key", "order", "block", "interpret"))
+def _fused_jet_padded(x_blocks, ws, bs, meta_key, order, block, interpret):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n_layers, p, n_streams = meta_key
+    rows = n_streams * block
+    n_blocks = x_blocks.shape[0]
+
+    out = pl.pallas_call(
+        partial(_kernel, n_layers=n_layers, n_streams=n_streams, block=block,
+                order=order),
+        out_shape=jax.ShapeDtypeStruct((n_blocks, rows, p), jnp.float32),
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((1, rows, p), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_layers, p, p), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_layers, p), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, rows, p), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(x_blocks, ws, bs)
+    return out
+
+
+def fused_jet(
+    params: Params,
+    x: jax.Array,
+    *,
+    order: int = 1,
+    lb=None,
+    ub=None,
+    block: int = 512,
+    interpret: bool = False,
+) -> Jet:
+    """Drop-in fused-kernel version of ``mlp_jet`` (f32).
+
+    Pads N to a block multiple and the widths to 128 lanes; returns exactly
+    the Jet ``mlp_jet`` would (same math, one VMEM-resident pass).
+    """
+    ws, bs, meta = pack_params(params)
+    n, a = x.shape
+    p = meta["padded"]
+    n_streams = 1 + a + (1 if order >= 2 else 0)
+    n_pad = _round_up(max(n, block), block)
+
+    x32 = jnp.asarray(x, jnp.float32)
+    if lb is not None:
+        lb_ = jnp.asarray(lb, jnp.float32)
+        ub_ = jnp.asarray(ub, jnp.float32)
+        h0 = 2.0 * (x32 - lb_) / (ub_ - lb_) - 1.0
+        scale = 2.0 / (ub_ - lb_)
+        eye = jnp.eye(a, dtype=jnp.float32) * scale[None, :]
+    else:
+        h0 = x32
+        eye = jnp.eye(a, dtype=jnp.float32)
+
+    # Build stacked, width-padded, block-interleaved input:
+    # (n_blocks, n_streams*block, P) with per-block layout [value; tangents;
+    # dtt] so the kernel's row arithmetic stays local to its block.
+    def pad_n(arr):
+        return jnp.pad(arr, ((0, n_pad - n), (0, p - arr.shape[1])))
+
+    streams = [pad_n(h0)]
+    for i in range(a):
+        streams.append(pad_n(jnp.broadcast_to(eye[i][None, :], (n, a))))
+    if order >= 2:
+        streams.append(pad_n(jnp.zeros((n, a), jnp.float32)))
+    stacked = jnp.stack(streams, axis=0)  # (S, n_pad, P)
+    n_blocks = n_pad // block
+    interleaved = (
+        stacked.reshape(n_streams, n_blocks, block, p)
+        .transpose(1, 0, 2, 3)
+        .reshape(n_blocks, n_streams * block, p)
+    )
+
+    meta_key = (meta["n_layers"], p, n_streams)
+    out = _fused_jet_padded(
+        interleaved, ws, bs, meta_key, order, block, interpret,
+    )
+    # De-interleave: (n_blocks, S*block, P) -> (S, n_pad, P).
+    out = (
+        out.reshape(n_blocks, n_streams, block, p)
+        .transpose(1, 0, 2, 3)
+        .reshape(n_streams, n_pad, p)
+    )
+    c = meta["dims"][-1]
+    f = out[0, :n, :c]
+    d = out[1 : 1 + a, :n, :c]
+    dtt = out[1 + a, :n, :c] if order >= 2 else None
+    return Jet(f=f, d=d, dtt=dtt)

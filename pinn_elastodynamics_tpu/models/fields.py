@@ -89,6 +89,10 @@ class MLPFieldModel:
     normalize: bool = False
     lb: Optional[Tuple[float, ...]] = None
     ub: Optional[Tuple[float, ...]] = None
+    # Matmul precision for this network's contractions: None (backend
+    # default), "high", or "highest" (full-f32 passes; PINN derivative
+    # accuracy can require this on TPU where the default uses bf16 passes).
+    precision: Optional[str] = None
 
     @property
     def layers(self) -> Tuple[int, ...]:
@@ -98,9 +102,12 @@ class MLPFieldModel:
         return mlp_mod.init_mlp(key, self.layers, dtype)
 
     def _norm_args(self):
+        args = {"precision": self.precision}
         if not self.normalize:
-            return {"lb": None, "ub": None}
-        return {"lb": self.lb, "ub": self.ub}
+            args.update({"lb": None, "ub": None})
+        else:
+            args.update({"lb": self.lb, "ub": self.ub})
+        return args
 
     def apply(self, params, xyt: jax.Array) -> jax.Array:
         return mlp_mod.mlp_apply(params, xyt, **self._norm_args())
@@ -127,6 +134,7 @@ class CompositeFieldModel:
     normalize: bool = False
     lb: Optional[Tuple[float, ...]] = None
     ub: Optional[Tuple[float, ...]] = None
+    precision: Optional[str] = None
 
     def _sub(self, hidden) -> MLPFieldModel:
         return MLPFieldModel(
@@ -135,6 +143,7 @@ class CompositeFieldModel:
             normalize=self.normalize,
             lb=self.lb,
             ub=self.ub,
+            precision=self.precision,
         )
 
     @property

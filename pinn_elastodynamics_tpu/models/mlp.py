@@ -58,6 +58,17 @@ def mlp_layers(params: Params) -> List[int]:
     return dims
 
 
+def _resolve_precision(precision):
+    if precision is None:
+        return None
+    import jax
+    return {
+        "default": jax.lax.Precision.DEFAULT,
+        "high": jax.lax.Precision.HIGH,
+        "highest": jax.lax.Precision.HIGHEST,
+    }[precision]
+
+
 def _normalize(x, lb, ub):
     lb = jnp.asarray(lb, x.dtype)
     ub = jnp.asarray(ub, x.dtype)
@@ -70,6 +81,7 @@ def mlp_apply(
     *,
     lb: Optional[jax.Array] = None,
     ub: Optional[jax.Array] = None,
+    precision: Optional[str] = None,
 ) -> jax.Array:
     """Plain forward: tanh hidden layers, linear head.
 
@@ -77,11 +89,12 @@ def mlp_apply(
     (ElasticWaveInfinite/ElasticWave.py:191); pass None to disable, matching
     the other three cases.
     """
+    prec = _resolve_precision(precision)
     h = x if lb is None else _normalize(x, lb, ub)
     for layer in params[:-1]:
-        h = jnp.tanh(h @ layer["W"] + layer["b"])
+        h = jnp.tanh(jnp.matmul(h, layer["W"], precision=prec) + layer["b"])
     last = params[-1]
-    return h @ last["W"] + last["b"]
+    return jnp.matmul(h, last["W"], precision=prec) + last["b"]
 
 
 def mlp_jet(
@@ -91,6 +104,7 @@ def mlp_jet(
     order: int = 1,
     lb: Optional[jax.Array] = None,
     ub: Optional[jax.Array] = None,
+    precision: Optional[str] = None,
 ) -> Jet:
     """Forward pass that propagates the full derivative jet.
 
@@ -109,6 +123,7 @@ def mlp_jet(
     """
     n, a = x.shape
     dtype = x.dtype
+    prec = _resolve_precision(precision)
 
     if lb is None:
         h = x
@@ -125,7 +140,7 @@ def mlp_jet(
 
     for layer in params[:-1]:
         w, b = layer["W"], layer["b"]
-        z, dz, ztt = _stacked_matmul(h, d, dtt, w)
+        z, dz, ztt = _stacked_matmul(h, d, dtt, w, prec)
         z = z + b
         hh = jnp.tanh(z)
         g = 1.0 - hh * hh  # tanh'
@@ -136,11 +151,11 @@ def mlp_jet(
         h = hh
 
     w, b = params[-1]["W"], params[-1]["b"]
-    f, d, dtt = _stacked_matmul(h, d, dtt, w)
+    f, d, dtt = _stacked_matmul(h, d, dtt, w, prec)
     return Jet(f=f + b, d=d, dtt=dtt)
 
 
-def _stacked_matmul(h, d, dtt, w):
+def _stacked_matmul(h, d, dtt, w, precision=None):
     """One matmul for the value, A tangent, and (optional) dtt streams."""
     n = h.shape[0]
     a = d.shape[0]
@@ -149,7 +164,9 @@ def _stacked_matmul(h, d, dtt, w):
         streams.append(dtt[None])
     stacked = jnp.concatenate(streams, axis=0)  # (K, N, in)
     k = stacked.shape[0]
-    out = (stacked.reshape(k * n, -1) @ w).reshape(k, n, -1)
+    out = jnp.matmul(
+        stacked.reshape(k * n, -1), w, precision=precision
+    ).reshape(k, n, -1)
     z = out[0]
     dz = out[1 : 1 + a]
     ztt = out[1 + a] if dtt is not None else None

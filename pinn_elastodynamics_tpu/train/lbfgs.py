@@ -3,33 +3,31 @@
 The reference drives scipy's Fortran L-BFGS-B from the host, crossing the
 host↔device boundary twice per iteration for up to 100k iterations
 (/root/reference/PlateHoleQuarter/train/train.py:219-247,508-525).  Here the
-*entire* optimization — two-loop recursion, strong-Wolfe zoom line search,
-convergence tests — runs inside one jitted ``lax.while_loop`` on the TPU
-(optax.lbfgs supplies the transform; this module supplies the driver).
-Iteration count, final loss, and a full loss history come back in a single
-device→host transfer at the end.
+optimization — two-loop recursion, strong-Wolfe zoom line search, convergence
+tests — runs on device inside jitted ``lax.while_loop`` *segments*: the host
+only re-dispatches every ``segment`` iterations (default 100), carrying all
+optimizer state on device.  Per-iteration host traffic is therefore ~1/100th
+of the reference's, while keeping single device executions short (long
+monolithic executions can trip device watchdogs), streaming loss telemetry,
+and enabling periodic checkpoints.
 
-Compilation/runtime notes (TPU):
-  * ``maxiter``, ``ftol``, ``gtol`` are *traced* scalars — changing the
-    budget does not retrigger the (expensive) full-scale compile; only
-    ``memory_size``, ``max_linesearch_steps``, ``history_capacity`` and the
-    loss function itself are static.
-  * scipy's ftol rule ``(f_k - f_{k+1}) <= ftol·max(|f_k|,|f_{k+1}|,1)`` is
-    applied with a *patience* counter: in f32 a single zero-decrease step is
-    common (loss deltas round to 0) and must not abort a 70k-iteration run
-    the way it would in the f64 Fortran path.
 Matches the reference's hyperparameters: memory (maxcor) 50, max line-search
-steps 50 (train.py:225-226).
+steps 50, and scipy's ftol stopping rule
+``(f_k - f_{k+1}) <= ftol·max(|f_k|,|f_{k+1}|,1)`` — applied with a
+*patience* counter because in f32 a single zero-decrease step is common and
+must not abort a 70k-iteration run.
 """
 
 from __future__ import annotations
 
 import dataclasses
+import time
 from functools import partial
-from typing import Callable, NamedTuple
+from typing import Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 
@@ -39,16 +37,15 @@ class LBFGSStatic:
 
     memory_size: int = 50           # scipy maxcor=50 (train.py:225)
     max_linesearch_steps: int = 50  # scipy maxls=50 (train.py:226)
-    history_capacity: int = 100_000  # loss-history buffer slots
-    log_every: int = 0              # 0 = silent; else jax.debug.print cadence
+    segment: int = 100              # device iterations per host dispatch
     patience: int = 5               # consecutive ftol-flat steps before stop
 
 
 class LBFGSResult(NamedTuple):
     params: object
     final_loss: jax.Array
-    n_iters: jax.Array
-    loss_history: jax.Array  # (history_capacity,) padded with final loss
+    n_iters: int
+    loss_history: np.ndarray  # (n_iters,)
 
 
 def _make_opt(cfg: LBFGSStatic):
@@ -62,31 +59,22 @@ def _make_opt(cfg: LBFGSStatic):
 
 
 @partial(jax.jit, static_argnames=("loss_fn", "cfg"))
-def run_lbfgs(
-    loss_fn: Callable,
-    params,
-    cfg: LBFGSStatic,
-    maxiter,
-    ftol,
-    gtol,
-) -> LBFGSResult:
-    """Minimize ``loss_fn(params) -> scalar``; maxiter/ftol/gtol are traced."""
+def _run_segment(loss_fn: Callable, carry, cfg: LBFGSStatic, ftol, gtol):
+    """Run up to ``cfg.segment`` L-BFGS iterations on device.
+
+    carry = (params, opt_state, f_prev, flat, done).  Returns the updated
+    carry plus this segment's loss history (padded with the final loss) and
+    the number of iterations actually run.
+    """
     opt = _make_opt(cfg)
     value_and_grad = optax.value_and_grad_from_state(loss_fn)
 
-    maxiter = jnp.minimum(
-        jnp.asarray(maxiter, jnp.int32), cfg.history_capacity
-    )
-    state0 = opt.init(params)
-    f0, g0 = jax.value_and_grad(loss_fn)(params)
-    history0 = jnp.zeros((cfg.history_capacity,), f0.dtype)
+    def cond(c):
+        (_, _, _, _, done), k, _ = c
+        return jnp.logical_and(k < cfg.segment, jnp.logical_not(done))
 
-    def cond(carry):
-        params, state, f_prev, k, flat, done, _ = carry
-        return jnp.logical_and(k < maxiter, jnp.logical_not(done))
-
-    def body(carry):
-        params, state, f_prev, k, flat, done, history = carry
+    def body(c):
+        (params, state, f_prev, flat, done), k, hist = c
         f, g = value_and_grad(params, state=state)
         updates, state = opt.update(
             g, state, params, value=f, grad=g, value_fn=loss_fn
@@ -94,39 +82,26 @@ def run_lbfgs(
         params = optax.apply_updates(params, updates)
         f_new = optax.tree.get(state, "value")
         g_new = optax.tree.get(state, "grad")
+        hist = hist.at[k].set(f_new)
 
-        history = history.at[k].set(f_new)
-        if cfg.log_every:
-            jax.lax.cond(
-                (k % cfg.log_every) == 0,
-                lambda: jax.debug.print(
-                    "lbfgs it {k}: loss {f}", k=k, f=f_new, ordered=False
-                ),
-                lambda: None,
-            )
-
-        # scipy L-BFGS-B ftol test, with flat-step patience (f32 robustness).
         denom = jnp.maximum(jnp.maximum(jnp.abs(f_prev), jnp.abs(f_new)), 1.0)
         ftol_hit = (f_prev - f_new) <= ftol * denom
         flat = jnp.where(ftol_hit, flat + 1, 0)
-        gmax = optax.tree.norm(g_new, ord=jnp.inf)
-        gtol_hit = gmax <= gtol
+        gtol_hit = optax.tree.norm(g_new, ord=jnp.inf) <= gtol
         nonfinite = jnp.logical_not(jnp.isfinite(f_new))
         done = jnp.logical_or(
             jnp.logical_or(flat >= cfg.patience, gtol_hit), nonfinite
         )
-        return params, state, f_new, k + 1, flat, done, history
+        return (params, state, f_new, flat, done), k + 1, hist
 
-    params_f, state_f, f_final, k_final, _, _, history = jax.lax.while_loop(
-        cond,
-        body,
-        (params, state0, f0, jnp.asarray(0, jnp.int32),
-         jnp.asarray(0, jnp.int32), jnp.asarray(False), history0),
+    hist0 = jnp.zeros((cfg.segment,), jnp.result_type(carry[2]))
+    carry, k, hist = jax.lax.while_loop(
+        cond, body, (carry, jnp.asarray(0, jnp.int32), hist0)
     )
-    # Pad the unused tail of the history with the final loss value.
-    idx = jnp.arange(cfg.history_capacity)
-    history = jnp.where(idx < k_final, history, f_final)
-    return LBFGSResult(params_f, f_final, k_final, history)
+    f_final = carry[2]
+    idx = jnp.arange(cfg.segment)
+    hist = jnp.where(idx < k, hist, f_final)
+    return carry, k, hist
 
 
 def minimize(
@@ -140,27 +115,51 @@ def minimize(
     gtol: float = 0.0,
     log_every: int = 0,
     patience: int = 5,
-    history_capacity: int = 0,
+    segment: int = 100,
+    on_segment: Optional[Callable] = None,
 ) -> LBFGSResult:
-    """Convenience wrapper.
+    """Minimize ``loss_fn(params) -> scalar``.
 
-    ``history_capacity`` defaults to ``maxiter`` rounded up to the next power
-    of two (so repeated calls with similar budgets share one executable).
+    ``on_segment(k_total, params, segment_history)`` runs on the host between
+    segments — use it for periodic checkpointing or metric streaming (state
+    stays on device; only the small history array is fetched).
     """
-    if history_capacity <= 0:
-        cap = 1024
-        while cap < maxiter:
-            cap *= 2
-        history_capacity = cap
     cfg = LBFGSStatic(
         memory_size=memory_size,
         max_linesearch_steps=max_linesearch_steps,
-        history_capacity=history_capacity,
-        log_every=log_every,
+        segment=min(segment, max(1, maxiter)),
         patience=patience,
     )
-    res = run_lbfgs(loss_fn, params, cfg, maxiter, ftol, gtol)
+    opt = _make_opt(cfg)
+    f0, _ = jax.value_and_grad(loss_fn)(params)
+    carry = (
+        params, opt.init(params), f0,
+        jnp.asarray(0, jnp.int32), jnp.asarray(False),
+    )
+
+    histories = []
+    k_total = 0
+    while k_total < maxiter:
+        carry, k_seg, hist = _run_segment(loss_fn, carry, cfg, ftol, gtol)
+        k_seg = int(k_seg)
+        hist = np.asarray(hist[:k_seg])
+        histories.append(hist)
+        k_total += k_seg
+        if log_every and len(hist):
+            print(
+                f"lbfgs it {k_total}: loss {hist[-1]:.6e}", flush=True
+            )
+        if on_segment is not None:
+            on_segment(k_total, carry[0], hist)
+        if bool(carry[4]) or k_seg < cfg.segment:
+            break
+
+    history = (
+        np.concatenate(histories) if histories else np.zeros((0,), np.float32)
+    )
     return LBFGSResult(
-        res.params, res.final_loss, res.n_iters,
-        res.loss_history[:maxiter],
+        params=carry[0],
+        final_loss=carry[2],
+        n_iters=k_total,
+        loss_history=history,
     )

@@ -1,0 +1,51 @@
+"""Fused-jet Pallas kernel vs the XLA jet (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pinn_elastodynamics_tpu.kernels.fused_jet import fused_jet, pack_params
+from pinn_elastodynamics_tpu.models.mlp import init_mlp, mlp_jet
+
+
+@pytest.mark.parametrize("order", [1, 2])
+@pytest.mark.parametrize("layers", [
+    [3, 70, 70, 5],            # plate-hole style widths (padded to 128)
+    [3, 140, 140, 140, 7],     # confined-wave style
+    [4, 64, 12],               # 3D inputs
+])
+def test_fused_jet_matches_xla(order, layers):
+    params = init_mlp(jax.random.PRNGKey(0), layers, jnp.float32)
+    n = 333  # deliberately not a block multiple
+    x = jax.random.uniform(jax.random.PRNGKey(1), (n, layers[0]), jnp.float32)
+    ref = mlp_jet(params, x, order=order)
+    ker = fused_jet(params, x, order=order, block=128, interpret=True)
+    np.testing.assert_allclose(ker.f, ref.f, atol=2e-6)
+    np.testing.assert_allclose(ker.d, ref.d, atol=2e-6)
+    if order >= 2:
+        np.testing.assert_allclose(ker.dtt, ref.dtt, atol=2e-6)
+    else:
+        assert ker.dtt is None
+
+
+def test_fused_jet_normalization_path():
+    params = init_mlp(jax.random.PRNGKey(2), [3, 80, 80, 7], jnp.float32)
+    x = jax.random.uniform(jax.random.PRNGKey(3), (200, 3), jnp.float32) * 30
+    kw = dict(lb=(0.0, 0.0, 0.0), ub=(30.0, 30.0, 20.0))
+    ref = mlp_jet(params, x, order=1, **kw)
+    ker = fused_jet(params, x, order=1, block=128, interpret=True, **kw)
+    np.testing.assert_allclose(ker.f, ref.f, atol=2e-6)
+    np.testing.assert_allclose(ker.d, ref.d, atol=2e-6)
+
+
+def test_pack_params_padding_inert():
+    """Zero-padding to 128 lanes must not change any output."""
+    params = init_mlp(jax.random.PRNGKey(4), [3, 30, 30, 5], jnp.float32)
+    ws, bs, meta = pack_params(params)
+    assert ws.shape == (3, 128, 128)
+    assert meta["dims"] == [3, 30, 30, 5]
+    # Padded regions are zero.
+    assert float(jnp.abs(ws[0, 3:, :]).max()) == 0.0
+    assert float(jnp.abs(ws[1, 30:, :]).max()) == 0.0
+    assert float(jnp.abs(ws[1, :, 30:]).max()) == 0.0
