@@ -132,8 +132,16 @@ def run_pipeline(
     log_every: int = 0,
     maxiter_override: Optional[Dict[str, int]] = None,
     on_phase_end: Optional[Callable] = None,
+    checkpoint_path: Optional[str] = None,
+    checkpoint_every_segments: int = 10,
 ):
-    """Run every phase of the case's pipeline; returns (params, phase_results)."""
+    """Run every phase of the case's pipeline; returns (params, phase_results).
+
+    With ``checkpoint_path`` set, parameters are checkpointed atomically every
+    ``checkpoint_every_segments`` L-BFGS segments (~100 iters each) — the
+    crash-recovery story the reference lacks (SURVEY.md §5: a crash loses
+    everything since the last manual pickle save).
+    """
     if params is None:
         params = case.init_params(seed, dtype)
     results = {}
@@ -147,12 +155,30 @@ def run_pipeline(
             )
             params = ar.params
         sub_fn, sub0, merge = _phase_loss_fn(case, phase, params)
+
+        on_segment = None
+        if checkpoint_path:
+            from ..train.checkpoint import save_checkpoint
+
+            seg_count = [0]
+
+            def on_segment(k, sub_params, hist, _phase=phase, _merge=merge,
+                           _params=params, _count=seg_count):
+                _count[0] += 1
+                if _count[0] % checkpoint_every_segments == 0:
+                    save_checkpoint(checkpoint_path, {
+                        "params": _merge(_params, sub_params),
+                        "phase": _phase.name,
+                        "iters": k,
+                    })
+
         res = lbfgs_mod.minimize(
             sub_fn,
             sub0,
             maxiter=maxiter,
             ftol=phase.ftol,
             log_every=log_every,
+            on_segment=on_segment,
         )
         params = merge(params, res.params)
         results[phase.name] = res

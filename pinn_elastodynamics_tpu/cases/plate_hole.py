@@ -171,7 +171,7 @@ def build(
     maxiter_dist: int = 20000,
     maxiter_part: int = 20000,
     maxiter_uv: int = 70000,
-    precision=None,
+    precision="highest",
 ) -> Case:
     ftol = 1e-5 * float(np.finfo(np.float64).eps)  # train.py:227
     return Case(

@@ -123,7 +123,7 @@ def eval_grid(num: int = 201) -> np.ndarray:
 
 def build(
     *, max_t: float = 14.0, seed: int = 1111, scale: float = 1.0,
-    dtype=np.float32, pad_to_multiple_of: int = 1, maxiter: int = 100000, precision=None,
+    dtype=np.float32, pad_to_multiple_of: int = 1, maxiter: int = 100000, precision="highest",
 ) -> Case:
     ftol = float(np.finfo(np.float64).eps)  # ftol = 1·eps (:166)
     return Case(

@@ -121,7 +121,7 @@ def eval_grid(num: int = 201) -> np.ndarray:
 
 def build(
     *, max_t: float = 20.0, seed: int = 1111, scale: float = 1.0,
-    dtype=np.float32, pad_to_multiple_of: int = 1, maxiter: int = 10000, precision=None,
+    dtype=np.float32, pad_to_multiple_of: int = 1, maxiter: int = 10000, precision="highest",
 ) -> Case:
     ftol = 1e-3 * float(np.finfo(np.float64).eps)  # :128
     return Case(

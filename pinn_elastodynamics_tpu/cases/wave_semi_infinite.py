@@ -119,7 +119,7 @@ def eval_grid(num: int = 201) -> np.ndarray:
 
 def build(
     *, max_t: float = 16.0, seed: int = 1111, scale: float = 1.0,
-    dtype=np.float32, pad_to_multiple_of: int = 1, maxiter: int = 1000, precision=None,
+    dtype=np.float32, pad_to_multiple_of: int = 1, maxiter: int = 1000, precision="highest",
 ) -> Case:
     ftol = 1e-3 * float(np.finfo(np.float64).eps)  # :136
     return Case(

@@ -114,6 +114,7 @@ def main(argv=None):
         log_every=args.log_every,
         maxiter_override=parse_kv_ints(args.maxiter),
         on_phase_end=on_phase_end,
+        checkpoint_path=os.path.join(args.out, f"{case.name}_live.ckpt"),
     )
     logger.log({
         "event": "train_done",

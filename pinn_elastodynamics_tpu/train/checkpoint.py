@@ -50,7 +50,7 @@ def load_checkpoint(path: str, dtype=None):
         host = pickle.load(f)
 
     def conv(x):
-        if isinstance(x, np.ndarray):
+        if isinstance(x, np.ndarray) and x.dtype.kind in "fiub":
             return jnp.asarray(x, dtype) if dtype is not None else jnp.asarray(x)
         return x
 
