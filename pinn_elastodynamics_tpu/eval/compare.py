@@ -15,7 +15,7 @@ from ..cases.base import Case
 from . import fem, metrics
 from .render import predict_fields
 
-FIELDS = ("u", "v", "s11", "s22", "s12")
+FIELDS = ("u", "v", "s11", "s22", "s12", "amp", "Mises")
 
 
 def frame_errors(
@@ -27,6 +27,10 @@ def frame_errors(
     xy = np.stack([ref["x"] + ox, ref["y"] + oy], axis=1)
     pred = predict_fields(case.model, params, xy, case.frame_time(frame),
                           dtype=dtype)
+    pred["Mises"] = metrics.von_mises_2d(
+        pred["s11"], pred["s22"], pred["s12"],
+        mu=float(np.asarray(case.material.mu)), plane=case.plane,
+    )
     return metrics.field_errors(pred, ref, FIELDS)
 
 

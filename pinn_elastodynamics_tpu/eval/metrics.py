@@ -34,3 +34,16 @@ def aggregate(per_frame: Sequence[Dict[str, float]]) -> Dict[str, float]:
     for k in per_frame[0]:
         out[k] = float(np.mean([d[k] for d in per_frame if k in d]))
     return out
+
+
+def von_mises_2d(s11, s22, s12, *, mu: float = 0.0, plane: str = "plane_stress"):
+    """Von Mises stress from in-plane components.
+
+    plane_stress: s33 = 0; plane_strain: s33 = mu*(s11+s22) (the out-of-plane
+    reaction) — matching the FEM 'Mises' field shipped with the wave cases.
+    """
+    s33 = mu * (s11 + s22) if plane == "plane_strain" else 0.0
+    return np.sqrt(
+        0.5 * ((s11 - s22) ** 2 + (s22 - s33) ** 2 + (s33 - s11) ** 2)
+        + 3.0 * s12 ** 2
+    )
