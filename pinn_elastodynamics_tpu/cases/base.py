@@ -20,7 +20,6 @@ import numpy as np
 
 from ..banks import PointBank
 from ..losses.terms import LossSpec
-from ..models.fields import CompositeFieldModel, MLPFieldModel
 from ..ops.elasticity import Material
 from ..train import lbfgs as lbfgs_mod
 from ..train.adam import run_adam

@@ -21,7 +21,7 @@ padding is numerically inert.
 from __future__ import annotations
 
 from functools import partial
-from typing import List, Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -72,7 +72,7 @@ def main(argv=None):
 
     from .cases.base import run_pipeline
     from .train import checkpoint as ckpt
-    from .utils.logging import MetricLogger, PhaseTimer
+    from .utils.logging import MetricLogger
 
     dtype = jnp.float64 if args.x64 else jnp.float32
     mod = importlib.import_module(CASES[args.case])

@@ -21,7 +21,6 @@ must not abort a 70k-iteration run.
 from __future__ import annotations
 
 import dataclasses
-import time
 from functools import partial
 from typing import Callable, NamedTuple, Optional
 
