@@ -97,14 +97,23 @@ def make_microbatched_loss_fn(
 
         # Chunks may hold different numbers of valid (unmasked) points, so
         # the exact full-bank mean is the count-weighted mean of chunk means.
-        def body(carry, i):
-            sums, count = carry
+        # jax.checkpoint on the body makes reverse-mode recompute each
+        # chunk's activations instead of storing all of them - without it the
+        # scan would retain every chunk's forward state and the memory
+        # saving of microbatching would be lost.
+        @jax.checkpoint
+        def chunk_sums(params, i):
             sub = slice_bank(i)
             c = jnp.sum(sub.mask)
             _, comps = col_spec.evaluate(
                 model, params, material, {collocation_key: sub}
             )
-            sums = {k: sums[k] + v * c for k, v in comps.items()}
+            return {k: v * c for k, v in comps.items()}, c
+
+        def body(carry, i):
+            sums, count = carry
+            new_sums, c = chunk_sums(params, i)
+            sums = {k: sums[k] + new_sums[k] for k in sums}
             return (sums, count + c), None
 
         init_sums = {k: jnp.zeros(()) for k in ("f_uv", "f_s")}
