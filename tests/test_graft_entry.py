@@ -17,7 +17,7 @@ def test_entry_compiles_and_runs():
 def test_dryrun_multichip_8(capsys):
     graft.dryrun_multichip(8)
     out = capsys.readouterr().out
-    assert "one sharded train step OK" in out
+    assert "sharded Adam step + L-BFGS segment OK" in out
 
 
 def test_dryrun_multichip_too_many_devices():
