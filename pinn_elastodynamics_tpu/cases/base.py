@@ -133,6 +133,7 @@ def run_pipeline(
     on_phase_end: Optional[Callable] = None,
     checkpoint_path: Optional[str] = None,
     checkpoint_every_segments: int = 10,
+    segment: int = 100,
 ):
     """Run every phase of the case's pipeline; returns (params, phase_results).
 
@@ -178,6 +179,7 @@ def run_pipeline(
             ftol=phase.ftol,
             log_every=log_every,
             on_segment=on_segment,
+            segment=segment,
         )
         params = merge(params, res.params)
         results[phase.name] = res

@@ -55,6 +55,9 @@ def main(argv=None):
                     help="checkpoint (native or reference pickle) to resume")
     ap.add_argument("--out", default="runs/out")
     ap.add_argument("--log-every", type=int, default=100)
+    ap.add_argument("--segment", type=int, default=100,
+                    help="L-BFGS iterations per device dispatch (smaller = "
+                         "shorter device executions, safer vs watchdogs)")
     ap.add_argument("--x64", action="store_true",
                     help="float64 (CPU parity debugging; slow on TPU)")
     ap.add_argument("--compare-fem", action="store_true")
@@ -115,6 +118,7 @@ def main(argv=None):
         maxiter_override=parse_kv_ints(args.maxiter),
         on_phase_end=on_phase_end,
         checkpoint_path=os.path.join(args.out, f"{case.name}_live.ckpt"),
+        segment=args.segment,
     )
     logger.log({
         "event": "train_done",
