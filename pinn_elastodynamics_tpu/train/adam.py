@@ -1,10 +1,11 @@
-"""Jitted Adam training loop.
+"""Jitted Adam training loop (segmented).
 
 The reference's Adam loop runs one ``sess.run`` per step plus 4-5 extra graph
 evaluations per step just to record loss components
 (/root/reference/PlateHoleQuarter/train/train.py:475-506 — a 5x overhead
-pathology noted in SURVEY.md §2.4).  Here the whole loop is one
-``lax.scan`` on device; per-component losses fall out of the same forward as
+pathology noted in SURVEY.md §2.4).  Here the loop is ``lax.scan`` segments
+on device (default 200 steps per dispatch — long monolithic executions can
+trip device watchdogs); per-component losses fall out of the same forward as
 auxiliary outputs, so the full loss history costs nothing extra.
 """
 
@@ -15,6 +16,7 @@ from typing import Callable, NamedTuple, Union
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 
@@ -24,27 +26,16 @@ class AdamResult(NamedTuple):
     history: dict  # each entry (iters,) — total + per-component losses
 
 
+def _make_opt(learning_rate):
+    return optax.inject_hyperparams(optax.adam)(learning_rate=learning_rate)
+
+
 @partial(jax.jit, static_argnames=("loss_and_aux_fn", "iters", "log_every"))
-def run_adam(
-    loss_and_aux_fn: Callable,
-    params,
-    learning_rate: Union[float, jax.Array],
-    *,
-    iters: int,
-    opt_state=None,
-    log_every: int = 0,
-) -> AdamResult:
-    """Run ``iters`` Adam steps of ``loss_and_aux_fn(params) -> (loss, aux)``.
-
-    ``learning_rate`` may be a traced scalar — the reference feeds it per call
-    (train.py:249,494) — so changing it does not retrigger compilation.
-    """
-    opt = optax.inject_hyperparams(optax.adam)(learning_rate=learning_rate)
-    if opt_state is None:
-        opt_state = opt.init(params)
-    else:
-        opt_state = optax.tree.set(opt_state, learning_rate=learning_rate)
-
+def _scan_segment(
+    loss_and_aux_fn, params, opt_state, learning_rate, iters, log_every, k0
+):
+    opt = _make_opt(learning_rate)
+    opt_state = optax.tree.set(opt_state, learning_rate=learning_rate)
     grad_fn = jax.value_and_grad(loss_and_aux_fn, has_aux=True)
 
     def step(carry, k):
@@ -54,9 +45,9 @@ def run_adam(
         params = optax.apply_updates(params, updates)
         if log_every:
             jax.lax.cond(
-                (k % log_every) == 0,
+                ((k0 + k) % log_every) == 0,
                 lambda: jax.debug.print(
-                    "adam it {k}: loss {l}", k=k, l=loss, ordered=False
+                    "adam it {k}: loss {l}", k=k0 + k, l=loss, ordered=False
                 ),
                 lambda: None,
             )
@@ -67,4 +58,40 @@ def run_adam(
     (params, opt_state), history = jax.lax.scan(
         step, (params, opt_state), jnp.arange(iters)
     )
+    return params, opt_state, history
+
+
+def run_adam(
+    loss_and_aux_fn: Callable,
+    params,
+    learning_rate: Union[float, jax.Array],
+    *,
+    iters: int,
+    opt_state=None,
+    log_every: int = 0,
+    segment: int = 200,
+) -> AdamResult:
+    """Run ``iters`` Adam steps of ``loss_and_aux_fn(params) -> (loss, aux)``.
+
+    ``learning_rate`` may be a traced scalar — the reference feeds it per call
+    (train.py:249,494) — so changing it does not retrigger compilation.
+    Steps run in device segments of ``segment`` iterations.
+    """
+    if opt_state is None:
+        opt_state = _make_opt(learning_rate).init(params)
+
+    histories = []
+    done = 0
+    while done < iters:
+        seg = min(segment, iters - done)
+        params, opt_state, hist = _scan_segment(
+            loss_and_aux_fn, params, opt_state, learning_rate, seg,
+            log_every, done,
+        )
+        histories.append(jax.tree.map(np.asarray, hist))
+        done += seg
+    history = {
+        k: np.concatenate([h[k] for h in histories])
+        for k in histories[0]
+    } if histories else {}
     return AdamResult(params, opt_state, history)
