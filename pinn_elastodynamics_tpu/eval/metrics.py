@@ -22,18 +22,30 @@ def relative_l2(pred: np.ndarray, ref: np.ndarray, eps: float = 1e-30) -> float:
 def field_errors(
     pred: Dict[str, np.ndarray], ref: Dict[str, np.ndarray],
     fields: Sequence[str] = ("u", "v", "s11", "s22", "s12"),
+    *,
+    min_ref_rms: float = 1e-6,
 ) -> Dict[str, float]:
-    return {f: relative_l2(pred[f], ref[f]) for f in fields if f in ref}
+    """Relative L2 per field; fields whose reference RMS is below
+    ``min_ref_rms`` are skipped (e.g. the all-zero t=0 rest state, where a
+    relative metric is degenerate)."""
+    out = {}
+    for f in fields:
+        if f not in ref:
+            continue
+        r = np.asarray(ref[f]).ravel()
+        if np.sqrt(np.mean(r * r)) < min_ref_rms:
+            continue
+        out[f] = relative_l2(pred[f], r)
+    return out
 
 
 def aggregate(per_frame: Sequence[Dict[str, float]]) -> Dict[str, float]:
-    """Mean relative L2 per field across frames."""
-    out: Dict[str, float] = {}
-    if not per_frame:
-        return out
-    for k in per_frame[0]:
-        out[k] = float(np.mean([d[k] for d in per_frame if k in d]))
-    return out
+    """Mean relative L2 per field across frames (union of available keys —
+    individual frames may skip degenerate fields)."""
+    keys = sorted({k for d in per_frame for k in d})
+    return {
+        k: float(np.mean([d[k] for d in per_frame if k in d])) for k in keys
+    }
 
 
 def von_mises_2d(s11, s22, s12, *, mu: float = 0.0, plane: str = "plane_stress"):
