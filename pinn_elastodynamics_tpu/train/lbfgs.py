@@ -130,7 +130,9 @@ def minimize(
         patience=patience,
     )
     opt = _make_opt(cfg)
-    f0, _ = jax.value_and_grad(loss_fn)(params)
+    # jit the seed evaluation: op-by-op execution would ignore remat
+    # boundaries and exhaust HBM on 1M+ point losses.
+    f0, _ = jax.jit(jax.value_and_grad(loss_fn))(params)
     carry = (
         params, opt.init(params), f0,
         jnp.asarray(0, jnp.int32), jnp.asarray(False),
