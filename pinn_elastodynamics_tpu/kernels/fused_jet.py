@@ -47,15 +47,18 @@ def pack_params(params: Params) -> Tuple[jax.Array, jax.Array, dict]:
     dims = [params[0]["W"].shape[0]] + [l["W"].shape[1] for l in params]
     p = max(_round_up(int(d), LANE) for d in dims)
     n_layers = len(params)
-    ws = np.zeros((n_layers, p, p), np.float32)
-    bs = np.zeros((n_layers, p), np.float32)
-    for i, layer in enumerate(params):
-        w = np.asarray(layer["W"], np.float32)
-        b = np.asarray(layer["b"], np.float32)
-        ws[i, : w.shape[0], : w.shape[1]] = w
-        bs[i, : b.shape[0]] = b
+    # jnp (not numpy) so params may be jit tracers; shapes are static.
+    ws_layers = []
+    bs_layers = []
+    for layer in params:
+        w = jnp.asarray(layer["W"], jnp.float32)
+        b = jnp.asarray(layer["b"], jnp.float32)
+        ws_layers.append(jnp.pad(
+            w, ((0, p - w.shape[0]), (0, p - w.shape[1]))
+        ))
+        bs_layers.append(jnp.pad(b, (0, p - b.shape[0])))
     meta = {"dims": [int(d) for d in dims], "padded": p, "n_layers": n_layers}
-    return jnp.asarray(ws), jnp.asarray(bs), meta
+    return jnp.stack(ws_layers), jnp.stack(bs_layers), meta
 
 
 def _kernel(x_ref, w_ref, b_ref, out_ref, *, n_layers: int, n_streams: int,
@@ -71,9 +74,10 @@ def _kernel(x_ref, w_ref, b_ref, out_ref, *, n_layers: int, n_streams: int,
     for l in range(n_layers):
         z = jnp.dot(s, w_ref[l], preferred_element_type=jnp.float32)
         if l == n_layers - 1:
-            # Linear head: bias on the value rows only.
-            z = z.at[0:block, :].add(b_ref[l][None, :])
-            s = z
+            # Linear head: bias on the value rows only.  (Slice+concat —
+            # scatter-add doesn't lower in Pallas TPU.)
+            zv = z[0:block, :] + b_ref[l][None, :]
+            s = jnp.concatenate([zv, z[block:, :]], axis=0)
         else:
             zv = z[0:block, :] + b_ref[l][None, :]
             h = jnp.tanh(zv)
@@ -187,3 +191,23 @@ def fused_jet(
     d = out[1 : 1 + a, :n, :c]
     dtt = out[1 + a, :n, :c] if order >= 2 else None
     return Jet(f=f, d=d, dtt=dtt)
+
+
+def model_fused_jet(model, params, x: jax.Array, order=None,
+                    interpret: bool = False) -> Jet:
+    """Fused-kernel jet for a field model (plain MLP or hard-BC composite).
+
+    The composite u = P + D·ũ combines three kernel launches by jet algebra
+    (same math as models/fields.py::CompositeFieldModel.jet).  Pass
+    ``interpret=True`` off-TPU.
+    """
+    order = model.spec.jet_order if order is None else order
+    kw = dict(order=order, interpret=interpret)
+    if model.normalize:
+        kw.update(lb=model.lb, ub=model.ub)
+    if hasattr(model, "uv_hidden"):  # CompositeFieldModel
+        uv = fused_jet(params["uv"], x, **kw)
+        dist = fused_jet(params["dist"], x, **kw)
+        part = fused_jet(params["part"], x, **kw)
+        return part + dist * uv
+    return fused_jet(params, x, **kw)
