@@ -1,0 +1,293 @@
+"""Custom-VJP fused jet: training-path Pallas kernels.
+
+``fused_jet_vjp`` computes the same Jet as ``fused_jet`` but is
+differentiable w.r.t. the MLP parameters (and inputs) through a hand-derived
+backward implemented as a second Pallas kernel:
+
+* forward — the whole-network VMEM-resident kernel (fused_jet.py);
+* backward — per point-block, RECOMPUTES the forward with all layer
+  activations in VMEM scratch (block-local rematerialization: no HBM
+  activation traffic at all), then runs the reverse stacked-stream sweep,
+  accumulating dW/db across grid steps in a revisited output block (TPU grid
+  execution is sequential, so read-modify-write accumulation is safe).
+
+The reverse recurrence (validated against jax.vjp to 1e-15 in
+tests/test_fused_vjp.py; streams: value h, tangents dz_i, optional dtt):
+
+    hidden layer forward:  Z = S_in W;  h = tanh(Z0 + b);  g = 1 - h²
+                           out = [h; g·Z_i ...; g·Z_tt - 2 h g Z_t²]
+    backward (cotangents c_h, c_i, c_tt):
+        ĉ_h  = c_h - 2h·Σ_i c_i⊙Z_i  (+ c_tt⊙(-2h·Z_tt - 2(1-3h²)Z_t²))
+        ĉ_i  = g⊙c_i                  (+ i=t: c_tt⊙(-4 h g Z_t))
+        ĉ_tt = g⊙c_tt
+        ĉ_0  = g⊙ĉ_h
+        dW  += S_inᵀ [ĉ_0; ĉ_i...; ĉ_tt];   db += Σ_batch ĉ_0
+        dS_in = [ĉ_0; ...] Wᵀ
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.jet import Jet
+from .fused_jet import LANE, _round_up, fused_jet, pack_params
+
+
+# ---------------------------------------------------------------------------
+# Backward kernel
+# ---------------------------------------------------------------------------
+
+def _bwd_kernel(x_ref, cot_ref, w_ref, b_ref, dw_ref, db_ref, dx_ref,
+                s_scratch, *, n_layers: int, n_streams: int, block: int,
+                order: int):
+    """One point-block backward: remat forward into VMEM, reverse sweep.
+
+    x_ref:   (1, S*B, P) interleaved input streams.
+    cot_ref: (1, S*B, P) interleaved output cotangents.
+    dw_ref:  (L, P, P) accumulated across grid steps (same block revisited).
+    db_ref:  (L, P) accumulated.
+    dx_ref:  (1, B, P) per-block input (value-stream) cotangent.
+    s_scratch: (L+1, S*B, P) VMEM — every layer's input activations.
+    """
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+
+    first = pl.program_id(0) == 0
+
+    @pl.when(first)
+    def _():
+        dw_ref[...] = jnp.zeros_like(dw_ref)
+        db_ref[...] = jnp.zeros_like(db_ref)
+
+    # --- forward remat, saving layer inputs -------------------------------
+    s = x_ref[0]
+    s_scratch[0] = s
+    for l in range(n_layers - 1):
+        z = jnp.dot(s, w_ref[l], preferred_element_type=jnp.float32)
+        zv = z[0:block, :] + b_ref[l][None, :]
+        h = jnp.tanh(zv)
+        g = 1.0 - h * h
+        n_tan = n_streams - 1 - (1 if order >= 2 else 0)
+        parts = [h]
+        for t in range(n_tan):
+            parts.append(g * z[(1 + t) * block:(2 + t) * block, :])
+        if order >= 2:
+            zt = z[n_tan * block:(1 + n_tan) * block, :]
+            ztt = z[(n_streams - 1) * block: n_streams * block, :]
+            parts.append(g * ztt - 2.0 * h * g * (zt * zt))
+        s = jnp.concatenate(parts, axis=0)
+        s_scratch[l + 1] = s
+
+    # --- final linear layer backward ---------------------------------------
+    c = cot_ref[0]                               # (S*B, P)
+    s_last = s_scratch[n_layers - 1]
+    dw_ref[n_layers - 1] += jnp.dot(
+        s_last.T, c, preferred_element_type=jnp.float32
+    )
+    db_ref[n_layers - 1] += jnp.sum(c[0:block, :], axis=0)
+    c = jnp.dot(c, w_ref[n_layers - 1].T, preferred_element_type=jnp.float32)
+
+    # --- hidden layers, reverse --------------------------------------------
+    for l in range(n_layers - 2, -1, -1):
+        s_in = s_scratch[l]
+        s_out = s_scratch[l + 1]
+        h = s_out[0:block, :]
+        g = 1.0 - h * h
+        # Recompute this layer's pre-activation tangent/dtt streams.
+        z_rest = jnp.dot(
+            s_in[block:, :], w_ref[l], preferred_element_type=jnp.float32
+        )                                        # ((S-1)*B, P)
+        n_tan = n_streams - 1 - (1 if order >= 2 else 0)
+
+        c_h = c[0:block, :]
+        # Σ_i c_i ⊙ Z_i over tangent streams.
+        acc = jnp.zeros_like(c_h)
+        for t in range(n_tan):
+            acc = acc + (c[(1 + t) * block:(2 + t) * block, :]
+                         * z_rest[t * block:(t + 1) * block, :])
+        chh = c_h - 2.0 * h * acc
+        c_parts = []
+        for t in range(n_tan):
+            ci = g * c[(1 + t) * block:(2 + t) * block, :]
+            c_parts.append(ci)
+        if order >= 2:
+            zt = z_rest[(n_tan - 1) * block: n_tan * block, :]
+            ztt = z_rest[(n_streams - 2) * block:(n_streams - 1) * block, :]
+            ctt = c[(n_streams - 1) * block: n_streams * block, :]
+            chh = chh + ctt * (-2.0 * h * ztt
+                               - 2.0 * (1.0 - 3.0 * h * h) * (zt * zt))
+            # t-tangent is the LAST tangent stream (index n_tan-1).
+            c_parts[n_tan - 1] = c_parts[n_tan - 1] + ctt * (-4.0 * h * g * zt)
+            c_parts.append(g * ctt)
+        c0 = g * chh
+        c_stack = jnp.concatenate([c0] + c_parts, axis=0)   # (S*B, P)
+
+        dw_ref[l] += jnp.dot(
+            s_in.T, c_stack, preferred_element_type=jnp.float32
+        )
+        db_ref[l] += jnp.sum(c0, axis=0)
+        c = jnp.dot(c_stack, w_ref[l].T, preferred_element_type=jnp.float32)
+
+    dx_ref[0] = c[0:block, :]
+
+
+@partial(jax.jit,
+         static_argnames=("meta_key", "order", "block", "interpret"))
+def _fused_jet_bwd_padded(x_blocks, cot_blocks, ws, bs, meta_key, order,
+                          block, interpret):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n_layers, p, n_streams = meta_key
+    rows = n_streams * block
+    n_blocks = x_blocks.shape[0]
+
+    dw, db, dx = pl.pallas_call(
+        partial(_bwd_kernel, n_layers=n_layers, n_streams=n_streams,
+                block=block, order=order),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_layers, p, p), jnp.float32),
+            jax.ShapeDtypeStruct((n_layers, p), jnp.float32),
+            jax.ShapeDtypeStruct((n_blocks, block, p), jnp.float32),
+        ),
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((1, rows, p), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rows, p), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_layers, p, p), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_layers, p), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((n_layers, p, p), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_layers, p), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block, p), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((n_layers, rows, p), jnp.float32),
+        ],
+        interpret=interpret,
+    )(x_blocks, cot_blocks, ws, bs)
+    return dw, db, dx
+
+
+# ---------------------------------------------------------------------------
+# custom_vjp wrapper
+# ---------------------------------------------------------------------------
+
+def _interleave(streams, n_streams, n_blocks, block, p):
+    stacked = jnp.stack(streams, axis=0)
+    return (stacked.reshape(n_streams, n_blocks, block, p)
+            .transpose(1, 0, 2, 3)
+            .reshape(n_blocks, n_streams * block, p))
+
+
+def _seed_streams(x32, a, n, n_pad, p, order, lb, ub):
+    if lb is not None:
+        lb_ = jnp.asarray(lb, jnp.float32)
+        ub_ = jnp.asarray(ub, jnp.float32)
+        h0 = 2.0 * (x32 - lb_) / (ub_ - lb_) - 1.0
+        scale = 2.0 / (ub_ - lb_)
+        eye = jnp.eye(a, dtype=jnp.float32) * scale[None, :]
+    else:
+        h0 = x32
+        scale = jnp.ones((a,), jnp.float32)
+        eye = jnp.eye(a, dtype=jnp.float32)
+
+    def pad_n(arr):
+        return jnp.pad(arr, ((0, n_pad - n), (0, p - arr.shape[1])))
+
+    streams = [pad_n(h0)]
+    for i in range(a):
+        streams.append(pad_n(jnp.broadcast_to(eye[i][None, :], (n, a))))
+    if order >= 2:
+        streams.append(pad_n(jnp.zeros((n, a), jnp.float32)))
+    return streams, scale
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+def fused_jet_vjp(params, x, order=1, block=512, interpret=False,
+                  lb=None, ub=None) -> Jet:
+    """Differentiable fused jet (Pallas forward AND backward).
+
+    Same outputs as ``mlp_jet``/``fused_jet``; gradients w.r.t. params and x
+    flow through the hand-derived Pallas backward (block-local remat).
+    """
+    return fused_jet(params, x, order=order, lb=lb, ub=ub, block=block,
+                     interpret=interpret)
+
+
+def _fwd(params, x, order, block, interpret, lb, ub):
+    jet = fused_jet(params, x, order=order, lb=lb, ub=ub, block=block,
+                    interpret=interpret)
+    return jet, (params, x)
+
+
+def _bwd(order, block, interpret, lb, ub, res, cot: Jet):
+    params, x = res
+    ws, bs, meta = pack_params(params)
+    n, a = x.shape
+    p = meta["padded"]
+    n_streams = 1 + a + (1 if order >= 2 else 0)
+    # The backward holds every layer's activations for a block in VMEM
+    # ((L+1) x S*B x P floats); cap the block so the scratch fits the ~16MB
+    # scoped-vmem budget regardless of the forward block size.
+    vmem_budget = 8 * 1024 * 1024  # leave headroom for in/out/intermediates
+    per_point = (meta["n_layers"] + 1) * n_streams * p * 4
+    block = max(32, min(block, _round_up(vmem_budget // per_point // 2, 32)
+                        if per_point else block))
+    n_pad = _round_up(max(n, block), block)
+    n_blocks = n_pad // block
+    dims = meta["dims"]
+    c_out = dims[-1]
+
+    x32 = jnp.asarray(x, jnp.float32)
+    in_streams, scale = _seed_streams(x32, a, n, n_pad, p, order, lb, ub)
+    x_blocks = _interleave(in_streams, n_streams, n_blocks, block, p)
+
+    # Cotangent streams, padded the same way (None → zeros).
+    def pad_c(arr):
+        arr = jnp.asarray(arr, jnp.float32)
+        return jnp.pad(arr, ((0, n_pad - n), (0, p - arr.shape[1])))
+
+    zero = jnp.zeros((n, c_out), jnp.float32)
+    cf = cot.f if cot.f is not None else zero
+    cot_streams = [pad_c(cf)]
+    for i in range(a):
+        ci = cot.d[i] if cot.d is not None else zero
+        cot_streams.append(pad_c(ci))
+    if order >= 2:
+        ctt = cot.dtt if cot.dtt is not None else zero
+        cot_streams.append(pad_c(ctt))
+    cot_blocks = _interleave(cot_streams, n_streams, n_blocks, block, p)
+
+    meta_key = (meta["n_layers"], p, n_streams)
+    dw, db, dx_blocks = _fused_jet_bwd_padded(
+        x_blocks, cot_blocks, ws, bs, meta_key, order, block, interpret
+    )
+
+    # Unpad into the params pytree.
+    dparams = []
+    for i in range(meta["n_layers"]):
+        fan_in, fan_out = dims[i], dims[i + 1]
+        dparams.append({
+            "W": dw[i, :fan_in, :fan_out].astype(params[i]["W"].dtype),
+            "b": db[i, :fan_out].astype(params[i]["b"].dtype),
+        })
+
+    dx = dx_blocks.reshape(n_pad, p)[:n, :a]
+    dx = (dx * scale[None, :]).astype(x.dtype)
+    return dparams, dx
+
+
+fused_jet_vjp.defvjp(_fwd, _bwd)

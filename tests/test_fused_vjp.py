@@ -1,0 +1,70 @@
+"""Custom-VJP fused jet: gradients vs autodiff (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pinn_elastodynamics_tpu.kernels.fused_jet_vjp import fused_jet_vjp
+from pinn_elastodynamics_tpu.models.mlp import init_mlp, mlp_jet
+
+
+def _loss_pair(params, x, order, norm=None):
+    kw = dict(lb=norm[0], ub=norm[1]) if norm else {}
+    key = jax.random.PRNGKey(7)
+    wf = jax.random.normal(key, (x.shape[0], 5), jnp.float32)
+    wd = jax.random.normal(key, (x.shape[1], x.shape[0], 5), jnp.float32)
+    wtt = jax.random.normal(key, (x.shape[0], 5), jnp.float32)
+
+    def weighted(jet):
+        l = jnp.sum(wf * jet.f) + jnp.sum(wd * jet.d)
+        if order >= 2:
+            l = l + jnp.sum(wtt * jet.dtt)
+        return l
+
+    def l_ref(p, xx):
+        return weighted(mlp_jet(p, xx, order=order, **kw))
+
+    def l_ker(p, xx):
+        return weighted(fused_jet_vjp(
+            p, xx, order, 128, True,
+            norm[0] if norm else None, norm[1] if norm else None,
+        ))
+
+    return l_ref, l_ker
+
+
+@pytest.mark.parametrize("order", [1, 2])
+def test_vjp_matches_autodiff(order):
+    params = init_mlp(jax.random.PRNGKey(0), [3, 40, 40, 5], jnp.float32)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (300, 3), jnp.float32)
+    l_ref, l_ker = _loss_pair(params, x, order)
+    vr, (gr, gxr) = jax.value_and_grad(l_ref, argnums=(0, 1))(params, x)
+    vk, (gk, gxk) = jax.value_and_grad(l_ker, argnums=(0, 1))(params, x)
+    assert float(abs(vr - vk)) < 1e-3 * max(1.0, abs(float(vr)))
+    scale = max(float(jnp.abs(g["W"]).max()) for g in gr)
+    for a, b in zip(gk, gr):
+        np.testing.assert_allclose(a["W"], b["W"], atol=2e-4 * max(1, scale))
+        np.testing.assert_allclose(a["b"], b["b"], atol=2e-4 * max(1, scale))
+    np.testing.assert_allclose(gxk, gxr, atol=2e-4 * max(1, scale))
+
+
+def test_vjp_normalization_path():
+    params = init_mlp(jax.random.PRNGKey(2), [3, 30, 30, 5], jnp.float32)
+    x = jax.random.uniform(jax.random.PRNGKey(3), (150, 3), jnp.float32) * 10
+    norm = ((0.0, 0.0, 0.0), (10.0, 10.0, 10.0))
+    l_ref, l_ker = _loss_pair(params, x, 2, norm)
+    _, gr = jax.value_and_grad(l_ref)(params, x)
+    _, gk = jax.value_and_grad(l_ker)(params, x)
+    scale = max(float(jnp.abs(g["W"]).max()) for g in gr)
+    for a, b in zip(gk, gr):
+        np.testing.assert_allclose(a["W"], b["W"], atol=2e-4 * max(1, scale))
+
+
+def test_vjp_forward_value_matches():
+    params = init_mlp(jax.random.PRNGKey(4), [3, 20, 7], jnp.float32)
+    x = jax.random.uniform(jax.random.PRNGKey(5), (90, 3), jnp.float32)
+    a = fused_jet_vjp(params, x, 1, 128, True)
+    b = mlp_jet(params, x, order=1)
+    np.testing.assert_allclose(a.f, b.f, atol=2e-6)
+    np.testing.assert_allclose(a.d, b.d, atol=2e-6)
