@@ -72,7 +72,8 @@ def _kernel(x_ref, w_ref, b_ref, out_ref, *, n_layers: int, n_streams: int,
     """
     s = x_ref[0]
     for l in range(n_layers):
-        z = jnp.dot(s, w_ref[l], preferred_element_type=jnp.float32)
+        z = jnp.dot(s, w_ref[l], preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
         if l == n_layers - 1:
             # Linear head: bias on the value rows only.  (Slice+concat —
             # scatter-add doesn't lower in Pallas TPU.)
@@ -144,6 +145,11 @@ def fused_jet(
     n, a = x.shape
     p = meta["padded"]
     n_streams = 1 + a + (1 if order >= 2 else 0)
+    # Cap the block by the ~16MB scoped-VMEM budget: in+out blocks plus a
+    # few unrolled-loop temporaries are each (n_streams*block, P) floats.
+    vmem_budget = 10 * 1024 * 1024
+    per_point = 6 * n_streams * p * 4
+    block = min(block, max(32, (vmem_budget // per_point) // 32 * 32))
     n_pad = _round_up(max(n, block), block)
 
     x32 = jnp.asarray(x, jnp.float32)

@@ -67,7 +67,8 @@ def _bwd_kernel(x_ref, cot_ref, w_ref, b_ref, dw_ref, db_ref, dx_ref,
     s = x_ref[0]
     s_scratch[0] = s
     for l in range(n_layers - 1):
-        z = jnp.dot(s, w_ref[l], preferred_element_type=jnp.float32)
+        z = jnp.dot(s, w_ref[l], preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
         zv = z[0:block, :] + b_ref[l][None, :]
         h = jnp.tanh(zv)
         g = 1.0 - h * h
@@ -86,10 +87,12 @@ def _bwd_kernel(x_ref, cot_ref, w_ref, b_ref, dw_ref, db_ref, dx_ref,
     c = cot_ref[0]                               # (S*B, P)
     s_last = s_scratch[n_layers - 1]
     dw_ref[n_layers - 1] += jnp.dot(
-        s_last.T, c, preferred_element_type=jnp.float32
+        s_last.T, c, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
     db_ref[n_layers - 1] += jnp.sum(c[0:block, :], axis=0)
-    c = jnp.dot(c, w_ref[n_layers - 1].T, preferred_element_type=jnp.float32)
+    c = jnp.dot(c, w_ref[n_layers - 1].T, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
 
     # --- hidden layers, reverse --------------------------------------------
     for l in range(n_layers - 2, -1, -1):
@@ -99,7 +102,8 @@ def _bwd_kernel(x_ref, cot_ref, w_ref, b_ref, dw_ref, db_ref, dx_ref,
         g = 1.0 - h * h
         # Recompute this layer's pre-activation tangent/dtt streams.
         z_rest = jnp.dot(
-            s_in[block:, :], w_ref[l], preferred_element_type=jnp.float32
+            s_in[block:, :], w_ref[l], preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )                                        # ((S-1)*B, P)
         n_tan = n_streams - 1 - (1 if order >= 2 else 0)
 
@@ -127,10 +131,12 @@ def _bwd_kernel(x_ref, cot_ref, w_ref, b_ref, dw_ref, db_ref, dx_ref,
         c_stack = jnp.concatenate([c0] + c_parts, axis=0)   # (S*B, P)
 
         dw_ref[l] += jnp.dot(
-            s_in.T, c_stack, preferred_element_type=jnp.float32
+            s_in.T, c_stack, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
         db_ref[l] += jnp.sum(c0, axis=0)
-        c = jnp.dot(c_stack, w_ref[l].T, preferred_element_type=jnp.float32)
+        c = jnp.dot(c_stack, w_ref[l].T, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
 
     dx_ref[0] = c[0:block, :]
 
@@ -242,10 +248,12 @@ def _bwd(order, block, interpret, lb, ub, res, cot: Jet):
     # The backward holds every layer's activations for a block in VMEM
     # ((L+1) x S*B x P floats); cap the block so the scratch fits the ~16MB
     # scoped-vmem budget regardless of the forward block size.
-    vmem_budget = 8 * 1024 * 1024  # leave headroom for in/out/intermediates
+    # Empirically the Mosaic stack also holds several block-sized
+    # temporaries from the unrolled reverse loop, so budget conservatively.
+    vmem_budget = 4 * 1024 * 1024
     per_point = (meta["n_layers"] + 1) * n_streams * p * 4
-    block = max(32, min(block, _round_up(vmem_budget // per_point // 2, 32)
-                        if per_point else block))
+    cap = max(32, (vmem_budget // per_point // 2) // 32 * 32)
+    block = min(block, cap)
     n_pad = _round_up(max(n, block), block)
     n_blocks = n_pad // block
     dims = meta["dims"]
