@@ -31,7 +31,7 @@ MAX_T = 10.0
 FEM_DIR = "/root/reference/PlateHoleQuarter/FEM_result/Quarter_plate_hole_dynamic"
 
 
-def build_model(precision=None) -> CompositeFieldModel:
+def build_model(precision=None, jet_impl="xla") -> CompositeFieldModel:
     # uv [3]+8*[70]+[5], dist/part [3]+4*[20]+[5] (train.py:885-887).
     spec = FieldSpec(ndim=2, formulation=SECOND_ORDER)
     return CompositeFieldModel(
@@ -40,6 +40,7 @@ def build_model(precision=None) -> CompositeFieldModel:
         dist_hidden=(20,) * 4,
         part_hidden=(20,) * 4,
         precision=precision,
+        jet_impl=jet_impl,
     )
 
 
@@ -172,11 +173,12 @@ def build(
     maxiter_part: int = 20000,
     maxiter_uv: int = 70000,
     precision="highest",
+    jet_impl="xla",
 ) -> Case:
     ftol = 1e-5 * float(np.finfo(np.float64).eps)  # train.py:227
     return Case(
         name="plate_hole_quarter",
-        model=build_model(precision),
+        model=build_model(precision, jet_impl),
         material=Material(E=20.0, mu=0.25, rho=1.0),
         plane=PLANE_STRESS,
         loss=main_loss(),

@@ -30,12 +30,13 @@ SRC_R = 2.0
 FEM_DIR = "/root/reference/ElasticWaveConfined/FEM_result/30x30_gauss_fine"
 
 
-def build_model(max_t: float = 14.0, precision=None) -> MLPFieldModel:
+def build_model(max_t: float = 14.0, precision=None, jet_impl="xla") -> MLPFieldModel:
     # [3] + 6*[140] + [7] (:891); no input normalization (:235).
     return MLPFieldModel(
         spec=FieldSpec(ndim=2, formulation=FIRST_ORDER),
         hidden=(140,) * 6,
         precision=precision,
+        jet_impl=jet_impl,
     )
 
 
@@ -123,12 +124,12 @@ def eval_grid(num: int = 201) -> np.ndarray:
 
 def build(
     *, max_t: float = 14.0, seed: int = 1111, scale: float = 1.0,
-    dtype=np.float32, pad_to_multiple_of: int = 1, maxiter: int = 100000, precision="highest",
+    dtype=np.float32, pad_to_multiple_of: int = 1, maxiter: int = 100000, precision="highest", jet_impl="xla",
 ) -> Case:
     ftol = float(np.finfo(np.float64).eps)  # ftol = 1·eps (:166)
     return Case(
         name="elastic_wave_confined",
-        model=build_model(max_t, precision=precision),
+        model=build_model(max_t, precision=precision, jet_impl=jet_impl),
         material=Material(E=2.5, mu=0.25, rho=1.0),
         plane=PLANE_STRAIN,
         loss=main_loss(),
