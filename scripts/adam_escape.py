@@ -39,23 +39,35 @@ def main():
     sub_fn, sub0, merge = _phase_loss_fn(case, phase, params)
     loss_aux = lambda sub: (sub_fn(sub), {})
 
-    print(f"start loss: {float(sub_fn(sub0)):.5f}", flush=True)
+    best = float(sub_fn(sub0))
+    print(f"start loss: {best:.5f}", flush=True)
     sub = sub0
+
+    def save_if_better(cand, loss_val):
+        # Never overwrite the checkpoint with a worse model — Adam stages
+        # can wander upward before the polish recovers.
+        nonlocal best
+        if loss_val < best:
+            best = loss_val
+            save_checkpoint(out, {"params": merge(params, cand)})
+            print(f"  checkpointed (loss {loss_val:.5f})", flush=True)
+
     for lr, iters in [(1e-4, 20000), (3e-5, 20000), (1e-5, 20000)]:
         t0 = time.perf_counter()
         r = run_adam(loss_aux, sub, lr, iters=iters, segment=200)
         sub = r.params
+        last = float(r.history["loss"][-1])
         print(f"adam lr={lr}: {iters} iters in {time.perf_counter()-t0:.0f}s,"
-              f" loss {float(r.history['loss'][0]):.5f} ->"
-              f" {float(r.history['loss'][-1]):.5f}", flush=True)
-        save_checkpoint(out, {"params": merge(params, sub)})
+              f" loss {float(r.history['loss'][0]):.5f} -> {last:.5f}",
+              flush=True)
+        save_if_better(sub, last)
 
     res = minimize(sub_fn, sub, maxiter=3000, segment=25, log_every=500)
     sub = res.params
     print(f"lbfgs polish: iters={res.n_iters} "
           f"final={float(res.final_loss):.6f}", flush=True)
+    save_if_better(sub, float(res.final_loss))
     full = merge(params, sub)
-    save_checkpoint(out, {"params": full})
 
     for frame in (10, 20, 60):
         errs = frame_errors(case, full, frame, dtype=np.float32)
