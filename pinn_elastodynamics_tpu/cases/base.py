@@ -134,20 +134,54 @@ def run_pipeline(
     checkpoint_path: Optional[str] = None,
     checkpoint_every_segments: int = 10,
     segment: int = 100,
+    resume: bool = False,
 ):
     """Run every phase of the case's pipeline; returns (params, phase_results).
 
-    With ``checkpoint_path`` set, parameters are checkpointed atomically every
-    ``checkpoint_every_segments`` L-BFGS segments (~100 iters each) — the
-    crash-recovery story the reference lacks (SURVEY.md §5: a crash loses
-    everything since the last manual pickle save).
+    With ``checkpoint_path`` set, parameters AND full optimizer state
+    (L-BFGS curvature memory, line-search state, iteration counter) are
+    checkpointed atomically every ``checkpoint_every_segments`` L-BFGS
+    segments — the crash-recovery story the reference lacks (SURVEY.md §5:
+    a crash loses everything since the last manual pickle save, and scipy's
+    L-BFGS history is never persisted at all).  With ``resume`` set and a
+    live checkpoint present, completed phases are skipped and the
+    interrupted phase continues from its saved optimizer carry with the
+    remaining iteration budget.
     """
+    resume_state = None
+    if resume and checkpoint_path:
+        import os
+
+        from ..train.checkpoint import load_checkpoint
+
+        if os.path.exists(checkpoint_path):
+            resume_state = load_checkpoint(checkpoint_path, dtype)
+            if "params" in resume_state:
+                params = resume_state["params"]
+
     if params is None:
         params = case.init_params(seed, dtype)
     results = {}
+    phase_names = [p.name for p in case.phases]
+    skip_until = None
+    if resume_state is not None and resume_state.get("phase") in phase_names:
+        skip_until = resume_state["phase"]
+
     for phase in case.phases:
+        if skip_until is not None and phase.name != skip_until:
+            continue  # phase completed before the checkpoint was taken
         maxiter = (maxiter_override or {}).get(phase.name, phase.maxiter)
-        if phase.name == case.phases[-1].name and case.adam_iters:
+        init_carry = None
+        if skip_until is not None and phase.name == skip_until:
+            skip_until = None
+            if resume_state.get("lbfgs_carry") is not None:
+                init_carry = tuple(resume_state["lbfgs_carry"])
+                maxiter = max(0, maxiter - int(resume_state.get("iters", 0)))
+                if maxiter == 0:
+                    params = _merge_resumed(case, phase, params, init_carry[0])
+                    continue
+        if (phase.name == case.phases[-1].name and case.adam_iters
+                and init_carry is None):
             fn_aux = case.loss_and_aux_fn(phase.loss)
             ar = run_adam(
                 fn_aux, params, case.adam_lr, iters=case.adam_iters,
@@ -162,14 +196,15 @@ def run_pipeline(
 
             seg_count = [0]
 
-            def on_segment(k, sub_params, hist, _phase=phase, _merge=merge,
-                           _params=params, _count=seg_count):
+            def on_segment(k, sub_params, hist, *, carry=None, _phase=phase,
+                           _merge=merge, _params=params, _count=seg_count):
                 _count[0] += 1
                 if _count[0] % checkpoint_every_segments == 0:
                     save_checkpoint(checkpoint_path, {
                         "params": _merge(_params, sub_params),
                         "phase": _phase.name,
                         "iters": k,
+                        "lbfgs_carry": carry,
                     })
 
         res = lbfgs_mod.minimize(
@@ -180,9 +215,20 @@ def run_pipeline(
             log_every=log_every,
             on_segment=on_segment,
             segment=segment,
+            init_carry=init_carry,
         )
         params = merge(params, res.params)
         results[phase.name] = res
         if on_phase_end is not None:
             on_phase_end(phase, params, res)
     return params, results
+
+
+def _merge_resumed(case: Case, phase: Phase, params, sub_params):
+    """Merge a checkpointed sub-tree back when a resumed phase has no budget
+    left (the checkpoint was taken at or past the phase's maxiter)."""
+    if phase.trainable is None:
+        return sub_params
+    out = dict(params)
+    out[phase.trainable] = sub_params
+    return out

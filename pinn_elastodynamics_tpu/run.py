@@ -53,6 +53,9 @@ def main(argv=None):
                     metavar="PHASE=N", help="per-phase L-BFGS budget")
     ap.add_argument("--warm-start", default=None,
                     help="checkpoint (native or reference pickle) to resume")
+    ap.add_argument("--resume", action="store_true",
+                    help="continue from the live checkpoint in --out "
+                         "(skips completed phases; restores L-BFGS state)")
     ap.add_argument("--out", default="runs/out")
     ap.add_argument("--log-every", type=int, default=100)
     ap.add_argument("--segment", type=int, default=100,
@@ -119,6 +122,7 @@ def main(argv=None):
         on_phase_end=on_phase_end,
         checkpoint_path=os.path.join(args.out, f"{case.name}_live.ckpt"),
         segment=args.segment,
+        resume=args.resume,
     )
     logger.log({
         "event": "train_done",

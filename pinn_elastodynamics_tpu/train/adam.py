@@ -70,12 +70,18 @@ def run_adam(
     opt_state=None,
     log_every: int = 0,
     segment: int = 200,
+    on_segment=None,
 ) -> AdamResult:
     """Run ``iters`` Adam steps of ``loss_and_aux_fn(params) -> (loss, aux)``.
 
     ``learning_rate`` may be a traced scalar — the reference feeds it per call
     (train.py:249,494) — so changing it does not retrigger compilation.
     Steps run in device segments of ``segment`` iterations.
+
+    ``on_segment(done, params, opt_state, segment_history)`` runs on the host
+    between segments; checkpoint ``{params, opt_state}`` there and pass
+    ``opt_state`` back to resume bit-compatibly (moments + step count carry
+    over — the reference loses Adam state on every restart).
     """
     if opt_state is None:
         opt_state = _make_opt(learning_rate).init(params)
@@ -90,6 +96,8 @@ def run_adam(
         )
         histories.append(jax.tree.map(np.asarray, hist))
         done += seg
+        if on_segment is not None:
+            on_segment(done, params, opt_state, histories[-1])
     history = {
         k: np.concatenate([h[k] for h in histories])
         for k in histories[0]

@@ -50,8 +50,13 @@ def load_checkpoint(path: str, dtype=None):
         host = pickle.load(f)
 
     def conv(x):
-        if isinstance(x, np.ndarray) and x.dtype.kind in "fiub":
+        if isinstance(x, np.ndarray) and x.dtype.kind == "f":
             return jnp.asarray(x, dtype) if dtype is not None else jnp.asarray(x)
+        if isinstance(x, np.ndarray) and x.dtype.kind in "iub":
+            # Integer/bool leaves (optimizer step counters, patience flags)
+            # keep their dtype — casting them to the float dtype would
+            # corrupt restored optimizer state.
+            return jnp.asarray(x)
         return x
 
     return jax.tree.map(conv, host)

@@ -67,8 +67,23 @@ def run_time_curriculum(
         if params is None:
             params = case.init_params(seed=seed)
 
+        # Mid-stage crash recovery: the live checkpoint carries the full
+        # L-BFGS state (curvature memory, line-search state), so a killed
+        # stage continues where it stopped instead of restarting cold.
+        live_path = (
+            os.path.join(checkpoint_dir, f"stage_{k}_live.ckpt")
+            if checkpoint_dir else None
+        )
+        init_carry, done_iters = None, 0
+        if live_path and resume and os.path.exists(live_path):
+            live = load_checkpoint(live_path)
+            if live.get("lbfgs_carry") is not None:
+                init_carry = tuple(live["lbfgs_carry"])
+                done_iters = int(live.get("iters", 0))
+                params = live["params"]
+
         t0 = time.perf_counter()
-        if stage.adam_iters:
+        if stage.adam_iters and init_carry is None:
             from .adam import run_adam
 
             ar = run_adam(
@@ -76,16 +91,26 @@ def run_time_curriculum(
                 iters=stage.adam_iters, log_every=log_every,
             )
             params = ar.params
+
+        def on_segment(it, p, hist, *, carry=None, _live=live_path,
+                       _base=done_iters):
+            if _live is not None:
+                save_checkpoint(_live, {
+                    "params": p, "iters": _base + it, "lbfgs_carry": carry,
+                })
+
         res = minimize(
             case.loss_fn(case.loss), params,
-            maxiter=stage.maxiter, log_every=log_every,
+            maxiter=max(1, stage.maxiter - done_iters), log_every=log_every,
+            init_carry=init_carry,
+            on_segment=on_segment if live_path else None,
         )
         params = res.params
         wall = time.perf_counter() - t0
         summary = {
             "stage": k,
             "max_t": stage.max_t,
-            "iters": int(res.n_iters),
+            "iters": int(res.n_iters) + done_iters,
             "final_loss": float(res.final_loss),
             "wall_seconds": wall,
         }
@@ -94,5 +119,7 @@ def run_time_curriculum(
             logger.log({"event": "curriculum_stage", **summary})
         if ck_path:
             save_checkpoint(ck_path, {"params": params, "summary": summary})
+        if live_path and os.path.exists(live_path):
+            os.unlink(live_path)  # superseded by the stage checkpoint
 
     return params, summaries

@@ -21,6 +21,7 @@ must not abort a 70k-iteration run.
 from __future__ import annotations
 
 import dataclasses
+import inspect
 from functools import partial
 from typing import Callable, NamedTuple, Optional
 
@@ -45,6 +46,12 @@ class LBFGSResult(NamedTuple):
     final_loss: jax.Array
     n_iters: int
     loss_history: np.ndarray  # (n_iters,)
+    # Full optimizer carry (params, opt_state incl. curvature memory and
+    # line-search state, f_prev, flat, done) — checkpoint it and pass back
+    # as ``init_carry`` to resume without losing the L-BFGS history the
+    # reference discards on every restart (train.py:219-247 rebuilds the
+    # scipy optimizer per phase).
+    carry: object = None
 
 
 def _make_opt(cfg: LBFGSStatic):
@@ -116,12 +123,20 @@ def minimize(
     patience: int = 5,
     segment: int = 100,
     on_segment: Optional[Callable] = None,
+    init_carry=None,
 ) -> LBFGSResult:
     """Minimize ``loss_fn(params) -> scalar``.
 
     ``on_segment(k_total, params, segment_history)`` runs on the host between
     segments — use it for periodic checkpointing or metric streaming (state
-    stays on device; only the small history array is fetched).
+    stays on device; only the small history array is fetched).  A callback
+    that also accepts a ``carry`` keyword receives the full optimizer carry,
+    suitable for ``save_checkpoint`` and later resumption.
+
+    ``init_carry`` resumes from a previously returned/checkpointed
+    ``LBFGSResult.carry`` (same loss_fn shape and same memory_size /
+    max_linesearch_steps — the opt-state pytree must match); the seed
+    value+grad evaluation is skipped and curvature history is preserved.
     """
     cfg = LBFGSStatic(
         memory_size=memory_size,
@@ -129,13 +144,24 @@ def minimize(
         segment=min(segment, max(1, maxiter)),
         patience=patience,
     )
-    opt = _make_opt(cfg)
-    # jit the seed evaluation: op-by-op execution would ignore remat
-    # boundaries and exhaust HBM on 1M+ point losses.
-    f0, _ = jax.jit(jax.value_and_grad(loss_fn))(params)
-    carry = (
-        params, opt.init(params), f0,
-        jnp.asarray(0, jnp.int32), jnp.asarray(False),
+    if init_carry is not None:
+        params, opt_state, f0, flat, _done = init_carry
+        # Clear the stop flags: a resumed run gets a fresh patience budget.
+        carry = (
+            params, opt_state, jnp.asarray(f0),
+            jnp.asarray(flat, jnp.int32), jnp.asarray(False),
+        )
+    else:
+        opt = _make_opt(cfg)
+        # jit the seed evaluation: op-by-op execution would ignore remat
+        # boundaries and exhaust HBM on 1M+ point losses.
+        f0, _ = jax.jit(jax.value_and_grad(loss_fn))(params)
+        carry = (
+            params, opt.init(params), f0,
+            jnp.asarray(0, jnp.int32), jnp.asarray(False),
+        )
+    pass_carry = on_segment is not None and (
+        "carry" in inspect.signature(on_segment).parameters
     )
 
     histories = []
@@ -151,7 +177,10 @@ def minimize(
                 f"lbfgs it {k_total}: loss {hist[-1]:.6e}", flush=True
             )
         if on_segment is not None:
-            on_segment(k_total, carry[0], hist)
+            if pass_carry:
+                on_segment(k_total, carry[0], hist, carry=carry)
+            else:
+                on_segment(k_total, carry[0], hist)
         if bool(carry[4]) or k_seg < cfg.segment:
             break
 
@@ -163,4 +192,5 @@ def minimize(
         final_loss=carry[2],
         n_iters=k_total,
         loss_history=history,
+        carry=carry,
     )
