@@ -34,6 +34,61 @@ def frame_errors(
     return metrics.field_errors(pred, ref, FIELDS)
 
 
+def hole_edge_errors(
+    case: Case, params, times: Sequence[float] = (2.5, 3.75, 5.0),
+    *, radius: float = 0.1, dtype=np.float64,
+) -> Dict[str, object]:
+    """Quantify the reference's hole-edge stress-vs-θ comparison.
+
+    The reference's only quantitative-ish validation plot overlays PINN and
+    FEM stresses along the r=0.1 hole arc at t = 2.5/3.75/5.0 s
+    (/root/reference/PlateHoleQuarter/train/train.py:1004-1101, FEM points
+    selected by x²+y² <= 0.010001).  Here the PINN is evaluated AT the FEM
+    hole-edge probe points and scored: relative L2 per cartesian stress
+    channel plus the hoop stress σθθ (the physically meaningful stress
+    concentration the plot is about), per time and aggregated.
+    """
+    frame_dt = case.max_t / (case.n_frames - 1)
+    per_time: List[Dict[str, float]] = []
+    channels = ("s11", "s22", "s12", "s_hoop")
+    all_pred: Dict[str, List[np.ndarray]] = {k: [] for k in channels}
+    all_ref: Dict[str, List[np.ndarray]] = {k: [] for k in channels}
+    for t in times:
+        frame = int(round(t / frame_dt))
+        ref = fem.load_frame(case.fem_dir, frame)
+        ox, oy = case.fem_offset
+        x, y = ref["x"] + ox, ref["y"] + oy
+        mask = (x**2 + y**2) <= radius**2 + 1e-6  # train.py:1020
+        xy = np.stack([x[mask], y[mask]], axis=1)
+        pred = predict_fields(case.model, params, xy, t, dtype=dtype)
+        # Hoop stress on the arc: σθθ = σ11·sin²θ + σ22·cos²θ − 2σ12·sinθcosθ
+        # (tangent direction (−sinθ, cosθ) on the circle).
+        ct, st = xy[:, 0] / radius, xy[:, 1] / radius
+        ref_c = {k: ref[k][mask] for k in ("s11", "s22", "s12")}
+        pred_c = {k: np.asarray(pred[k]).ravel() for k in ("s11", "s22", "s12")}
+        ref_c["s_hoop"] = (ref_c["s11"] * st**2 + ref_c["s22"] * ct**2
+                           - 2.0 * ref_c["s12"] * st * ct)
+        pred_c["s_hoop"] = (pred_c["s11"] * st**2 + pred_c["s22"] * ct**2
+                            - 2.0 * pred_c["s12"] * st * ct)
+        errs = {k: metrics.relative_l2(pred_c[k], ref_c[k]) for k in channels}
+        errs["t"] = float(t)
+        per_time.append(errs)
+        for k in channels:
+            all_pred[k].append(pred_c[k])
+            all_ref[k].append(np.asarray(ref_c[k]).ravel())
+    # Aggregate over concatenated times: weights each time by its physical
+    # magnitude (at load zero-crossings like t=5.0 the fields are ~0 and a
+    # per-time relative metric is degenerate — train.py's cyclic load
+    # 0.5·sin(2πt/5+3π/2)+0.5 vanishes there).
+    agg = {
+        k: metrics.relative_l2(
+            np.concatenate(all_pred[k]), np.concatenate(all_ref[k])
+        )
+        for k in channels
+    }
+    return {"per_time": per_time, "aggregate": agg}
+
+
 def compare_frames(
     case: Case, params, frames: Optional[Sequence[int]] = None,
     *, dtype=np.float64,
