@@ -28,11 +28,13 @@ import jax
 import numpy as np
 
 
-def _build(scale: float):
+def _build(scale: float, jet_impl: str = "auto"):
     from pinn_elastodynamics_tpu.cases import plate_hole
     from pinn_elastodynamics_tpu.train.step import make_loss_fn
 
-    case = plate_hole.build(scale=scale, pad_to_multiple_of=8)
+    case = plate_hole.build(
+        scale=scale, pad_to_multiple_of=8, jet_impl=jet_impl
+    )
     loss_fn = make_loss_fn(case.model, case.loss, case.material)
 
     def scalar_loss(params, banks):
@@ -54,6 +56,87 @@ def _rate_blocked(scalar_loss, params, banks, n_col, iters):
             jax.block_until_ready(vg(params, banks))
         best = min(best, (time.perf_counter() - t0) / iters)
     return n_col / best, best
+
+
+def _seconds_to_target(scale, threshold, maxiter, *, seed=0, window=30,
+                       with_cpu=True):
+    """Wall-clock for the from-scratch plate uv phase to reach ``threshold``.
+
+    BASELINE.md metric #1 made measurable at bench timescales: the full
+    pipeline (dist/part pretrain, then the uv composite phase) runs from
+    scratch with a fixed seed on the bench device until the loss crosses the
+    documented proxy threshold (``seconds_to_target``, measured directly).
+
+    The CPU comparator runs the *same* L-BFGS recipe from the *same*
+    post-pretrain state for a fixed ``window`` of iterations on both devices;
+    the CPU time-to-target is then ``tpu_wall x (cpu_window / tpu_window)``.
+    Matching windows on an identical trajectory cancels line-search-length
+    drift along the run, which a naive per-iter extrapolation would bias.
+    Compile time is excluded everywhere (warm runs precede timed runs) —
+    the production regime is 10k+ iteration runs where compilation
+    amortizes to noise.
+    """
+    from pinn_elastodynamics_tpu.cases import plate_hole
+    from pinn_elastodynamics_tpu.cases.base import _phase_loss_fn, run_pipeline
+    from pinn_elastodynamics_tpu.train.lbfgs import minimize
+
+    case = plate_hole.build(scale=scale, pad_to_multiple_of=8)
+    params = case.init_params(seed=seed)
+    params, _ = run_pipeline(
+        case, params,
+        maxiter_override={"dist": 300, "part": 300, "uv": 0}, segment=50,
+    )
+    phase = case.phases[-1]
+    sub_fn, sub0, _merge = _phase_loss_fn(case, phase, params)
+    minimize(sub_fn, sub0, maxiter=10, segment=10)  # warm the executable
+
+    t0 = time.perf_counter()
+    res = minimize(
+        sub_fn, sub0, maxiter=maxiter, segment=10, target=threshold
+    )
+    wall = time.perf_counter() - t0
+    hit = bool(float(res.final_loss) <= threshold)
+
+    out = {
+        "seconds_to_target": round(wall, 2),
+        "target_loss": threshold,
+        "target_iters": int(res.n_iters),
+        "target_hit": hit,
+        "target_final_loss": round(float(res.final_loss), 6),
+        "target_scale": scale,
+    }
+    if not with_cpu:
+        return out
+
+    t0 = time.perf_counter()
+    minimize(sub_fn, sub0, maxiter=window, segment=10)
+    dev_window = time.perf_counter() - t0
+
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        # Rebuild the case with the XLA jet (CPU's best path — "auto"
+        # resolves via the process-global backend, and the Pallas kernel
+        # doesn't lower on CPU) and CPU-placed frozen params (the original
+        # closure holds device-committed dist/part trees).  Same seed =>
+        # identical banks, so the loss landscape matches.
+        case_c = plate_hole.build(
+            scale=scale, pad_to_multiple_of=8, jet_impl="xla"
+        )
+        phase_c = case_c.phases[-1]
+        sub_fn_c, sub0_c, _ = _phase_loss_fn(
+            case_c, phase_c, jax.device_put(params, cpu)
+        )
+        minimize(sub_fn_c, sub0_c, maxiter=10, segment=10)  # warm CPU compile
+        t0 = time.perf_counter()
+        minimize(sub_fn_c, sub0_c, maxiter=window, segment=10)
+        cpu_window = time.perf_counter() - t0
+
+    ratio = cpu_window / dev_window if dev_window > 0 else None
+    out.update({
+        "seconds_to_target_cpu": round(wall * ratio, 2) if ratio else None,
+        "speedup_to_target": round(ratio, 2) if ratio else None,
+    })
+    return out
 
 
 def _lbfgs_iter_rate(case, params, iters):
@@ -79,6 +162,15 @@ def main():
     ap.add_argument("--cpu-iters", type=int, default=2)
     ap.add_argument("--skip-cpu", action="store_true")
     ap.add_argument("--skip-lbfgs", action="store_true")
+    ap.add_argument("--skip-stt", action="store_true",
+                    help="skip the seconds-to-target measurement")
+    # Proxy threshold calibrated on CPU (scale 0.1, seed 0): the from-scratch
+    # uv loss starts ~57 and crosses 10.0 at ~iter 245 of a steady descent
+    # (8.99 @ 300) — comfortably reachable by both comparators, far from the
+    # converged floor where f32 trajectories diverge.
+    ap.add_argument("--stt-scale", type=float, default=0.1)
+    ap.add_argument("--stt-threshold", type=float, default=10.0)
+    ap.add_argument("--stt-maxiter", type=int, default=600)
     args = ap.parse_args()
 
     case, scalar_loss, params, n_col = _build(args.scale)
@@ -104,7 +196,7 @@ def main():
         try:
             cpu = jax.devices("cpu")[0]
             case_c, scalar_c, params_c, n_c = _build(
-                args.scale * args.cpu_scale
+                args.scale * args.cpu_scale, jet_impl="xla"
             )
             with jax.default_device(cpu):
                 params_cc = jax.device_put(params_c, cpu)
@@ -119,6 +211,16 @@ def main():
         except Exception:
             cpu_rate = None
 
+    stt = {}
+    if not args.skip_stt:
+        try:
+            stt = _seconds_to_target(
+                args.stt_scale, args.stt_threshold, args.stt_maxiter,
+                with_cpu=not args.skip_cpu,
+            )
+        except Exception:
+            stt = {}
+
     vs_baseline = rate / cpu_rate if cpu_rate else None
     print(json.dumps({
         "metric": "collocation_evals_per_sec",
@@ -131,6 +233,7 @@ def main():
         "lbfgs_iters_per_sec": round(lbfgs_rate, 2) if lbfgs_rate else None,
         "lbfgs_iters_measured": lbfgs_iters,
         "cpu_evals_per_sec": round(cpu_rate, 1) if cpu_rate else None,
+        **stt,
     }))
 
 

@@ -31,7 +31,7 @@ MAX_T = 10.0
 FEM_DIR = "/root/reference/PlateHoleQuarter/FEM_result/Quarter_plate_hole_dynamic"
 
 
-def build_model(precision=None, jet_impl="xla") -> CompositeFieldModel:
+def build_model(precision=None, jet_impl="auto") -> CompositeFieldModel:
     # uv [3]+8*[70]+[5], dist/part [3]+4*[20]+[5] (train.py:885-887).
     spec = FieldSpec(ndim=2, formulation=SECOND_ORDER)
     return CompositeFieldModel(
@@ -173,7 +173,7 @@ def build(
     maxiter_part: int = 20000,
     maxiter_uv: int = 70000,
     precision="highest",
-    jet_impl="xla",
+    jet_impl="auto",
 ) -> Case:
     ftol = 1e-5 * float(np.finfo(np.float64).eps)  # train.py:227
     return Case(

@@ -30,7 +30,7 @@ SRC_R = 2.0
 FEM_DIR = "/root/reference/ElasticWaveConfined/FEM_result/30x30_gauss_fine"
 
 
-def build_model(max_t: float = 14.0, precision=None, jet_impl="xla") -> MLPFieldModel:
+def build_model(max_t: float = 14.0, precision=None, jet_impl="auto") -> MLPFieldModel:
     # [3] + 6*[140] + [7] (:891); no input normalization (:235).
     return MLPFieldModel(
         spec=FieldSpec(ndim=2, formulation=FIRST_ORDER),
@@ -124,7 +124,7 @@ def eval_grid(num: int = 201) -> np.ndarray:
 
 def build(
     *, max_t: float = 14.0, seed: int = 1111, scale: float = 1.0,
-    dtype=np.float32, pad_to_multiple_of: int = 1, maxiter: int = 100000, precision="highest", jet_impl="xla",
+    dtype=np.float32, pad_to_multiple_of: int = 1, maxiter: int = 100000, precision="highest", jet_impl="auto",
 ) -> Case:
     ftol = float(np.finfo(np.float64).eps)  # ftol = 1·eps (:166)
     return Case(

@@ -29,7 +29,7 @@ SRC_R = 2.0
 FEM_DIR = "/root/reference/ElasticWaveInfinite/FEM_result"
 
 
-def build_model(max_t: float = 20.0, precision=None, jet_impl="xla") -> MLPFieldModel:
+def build_model(max_t: float = 20.0, precision=None, jet_impl="auto") -> MLPFieldModel:
     # [3] + 8*[80] + [7] (:645); input normalization ON (:191).
     return MLPFieldModel(
         spec=FieldSpec(ndim=2, formulation=FIRST_ORDER),
@@ -122,7 +122,7 @@ def eval_grid(num: int = 201) -> np.ndarray:
 
 def build(
     *, max_t: float = 20.0, seed: int = 1111, scale: float = 1.0,
-    dtype=np.float32, pad_to_multiple_of: int = 1, maxiter: int = 10000, precision="highest", jet_impl="xla",
+    dtype=np.float32, pad_to_multiple_of: int = 1, maxiter: int = 10000, precision="highest", jet_impl="auto",
 ) -> Case:
     ftol = 1e-3 * float(np.finfo(np.float64).eps)  # :128
     return Case(

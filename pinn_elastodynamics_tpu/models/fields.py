@@ -93,9 +93,11 @@ class MLPFieldModel:
     # default), "high", or "highest" (full-f32 passes; PINN derivative
     # accuracy can require this on TPU where the default uses bf16 passes).
     precision: Optional[str] = None
-    # Jet implementation: "xla" (models/mlp.py) or "pallas" (custom-VJP
+    # Jet implementation: "xla" (models/mlp.py), "pallas" (custom-VJP
     # fused kernels, kernels/fused_jet_vjp.py — 3.2x faster value+grad on
-    # TPU at exact-f32 precision; falls back to interpret mode off-TPU).
+    # TPU at exact-f32 precision; falls back to interpret mode off-TPU),
+    # or "auto" (pallas on TPU, xla elsewhere — the production default:
+    # the kernel path is exact-match vs XLA-highest, tests/test_fused_vjp.py).
     jet_impl: str = "xla"
 
     @property
@@ -118,7 +120,14 @@ class MLPFieldModel:
 
     def jet(self, params, xyt: jax.Array, order: Optional[int] = None) -> Jet:
         order = self.spec.jet_order if order is None else order
-        if self.jet_impl == "pallas":
+        impl = self.jet_impl
+        if impl == "auto":
+            impl = (
+                "pallas"
+                if jax.default_backend() in ("tpu", "axon")
+                else "xla"
+            )
+        if impl == "pallas":
             from ..kernels.fused_jet_vjp import fused_jet_vjp
 
             interpret = jax.default_backend() not in ("tpu", "axon")

@@ -65,7 +65,8 @@ def _make_opt(cfg: LBFGSStatic):
 
 
 @partial(jax.jit, static_argnames=("loss_fn", "cfg"))
-def _run_segment(loss_fn: Callable, carry, cfg: LBFGSStatic, ftol, gtol):
+def _run_segment(loss_fn: Callable, carry, cfg: LBFGSStatic, ftol, gtol,
+                 target):
     """Run up to ``cfg.segment`` L-BFGS iterations on device.
 
     carry = (params, opt_state, f_prev, flat, done).  Returns the updated
@@ -95,8 +96,10 @@ def _run_segment(loss_fn: Callable, carry, cfg: LBFGSStatic, ftol, gtol):
         flat = jnp.where(ftol_hit, flat + 1, 0)
         gtol_hit = optax.tree.norm(g_new, ord=jnp.inf) <= gtol
         nonfinite = jnp.logical_not(jnp.isfinite(f_new))
+        target_hit = f_new <= target
         done = jnp.logical_or(
-            jnp.logical_or(flat >= cfg.patience, gtol_hit), nonfinite
+            jnp.logical_or(flat >= cfg.patience, gtol_hit),
+            jnp.logical_or(nonfinite, target_hit),
         )
         return (params, state, f_new, flat, done), k + 1, hist
 
@@ -124,6 +127,7 @@ def minimize(
     segment: int = 100,
     on_segment: Optional[Callable] = None,
     init_carry=None,
+    target: float = -np.inf,
 ) -> LBFGSResult:
     """Minimize ``loss_fn(params) -> scalar``.
 
@@ -132,6 +136,10 @@ def minimize(
     stays on device; only the small history array is fetched).  A callback
     that also accepts a ``carry`` keyword receives the full optimizer carry,
     suitable for ``save_checkpoint`` and later resumption.
+
+    ``target`` stops the run as soon as the loss reaches it (time-to-target
+    benchmarking; scipy has no equivalent — the reference can only bound
+    iterations).
 
     ``init_carry`` resumes from a previously returned/checkpointed
     ``LBFGSResult.carry`` (same loss_fn shape and same memory_size /
@@ -167,7 +175,9 @@ def minimize(
     histories = []
     k_total = 0
     while k_total < maxiter:
-        carry, k_seg, hist = _run_segment(loss_fn, carry, cfg, ftol, gtol)
+        carry, k_seg, hist = _run_segment(
+            loss_fn, carry, cfg, ftol, gtol, target
+        )
         k_seg = int(k_seg)
         hist = np.asarray(hist[:k_seg])
         histories.append(hist)
