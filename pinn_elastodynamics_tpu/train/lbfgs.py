@@ -174,6 +174,7 @@ def minimize(
 
     histories = []
     k_total = 0
+    k_logged = 0
     while k_total < maxiter:
         carry, k_seg, hist = _run_segment(
             loss_fn, carry, cfg, ftol, gtol, target
@@ -182,7 +183,8 @@ def minimize(
         hist = np.asarray(hist[:k_seg])
         histories.append(hist)
         k_total += k_seg
-        if log_every and len(hist):
+        if log_every and len(hist) and k_total - k_logged >= log_every:
+            k_logged = k_total
             print(
                 f"lbfgs it {k_total}: loss {hist[-1]:.6e}", flush=True
             )
