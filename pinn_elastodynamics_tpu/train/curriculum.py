@@ -28,6 +28,9 @@ class Stage:
     maxiter: int
     adam_iters: int = 0
     adam_lr: float = 1e-3
+    # Stop the stage early once the loss reaches this (e.g. the reference
+    # pickle's own loss on the same banks — the convergence bar).
+    target: float = -float("inf")
 
 
 def run_time_curriculum(
@@ -104,6 +107,7 @@ def run_time_curriculum(
             maxiter=max(1, stage.maxiter - done_iters), log_every=log_every,
             init_carry=init_carry,
             on_segment=on_segment if live_path else None,
+            target=stage.target,
         )
         params = res.params
         wall = time.perf_counter() - t0

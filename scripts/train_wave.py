@@ -27,14 +27,15 @@ import numpy as np
 CASES = ("wave_infinite", "wave_confined", "wave_semi_infinite")
 
 
-def parse_stages(items, adam_iters):
+def parse_stages(items, adam_iters, target):
     from pinn_elastodynamics_tpu.train.curriculum import Stage
 
     stages = []
     for it in items:
         t, _, n = it.partition(":")
         stages.append(Stage(max_t=float(t), maxiter=int(n),
-                            adam_iters=adam_iters, adam_lr=1e-3))
+                            adam_iters=adam_iters, adam_lr=1e-3,
+                            target=target))
     return stages
 
 
@@ -45,6 +46,9 @@ def main():
     ap.add_argument("--stages", nargs="+", required=True, metavar="T:ITERS")
     ap.add_argument("--adam", type=int, default=0,
                     help="Adam warmup iters per stage (lr 1e-3)")
+    ap.add_argument("--target", type=float, default=-float("inf"),
+                    help="early-stop loss per stage (e.g. the reference "
+                         "pickle's loss on the same banks)")
     ap.add_argument("--scale", type=float, default=1.0)
     ap.add_argument("--seed", type=int, default=1111)
     ap.add_argument("--log-every", type=int, default=250)
@@ -75,7 +79,7 @@ def main():
     if args.warm_start:
         params = load_checkpoint(args.warm_start)["params"]
 
-    stages = parse_stages(args.stages, args.adam)
+    stages = parse_stages(args.stages, args.adam, args.target)
     builder_kwargs = dict(
         scale=args.scale, seed=args.seed,
         pad_to_multiple_of=len(jax.devices()),
