@@ -1,0 +1,65 @@
+"""Regenerate committed run artifacts from their checkpoints.
+
+Every committed run directory must carry a fem_errors.json that matches its
+checkpoint (VERDICT r1 #9: a stale diverged evaluation contradicted the
+commit message).  Re-evaluates each known run dir's best checkpoint against
+the FEM ground truth and rewrites fem_errors.json (+ hole-edge metrics for
+the plate case).
+"""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    import jax.numpy as jnp
+
+    from pinn_elastodynamics_tpu.cases import (
+        plate_hole,
+        wave_confined,
+        wave_infinite,
+        wave_semi_infinite,
+    )
+    from pinn_elastodynamics_tpu.eval.compare import (
+        compare_frames,
+        hole_edge_errors,
+    )
+    from pinn_elastodynamics_tpu.train.checkpoint import load_checkpoint
+
+    jobs = [
+        # (run dir, ckpt, case builder, builder kwargs, frames)
+        ("runs/plate_v2", "adam_escape.ckpt", plate_hole, {},
+         [10, 20, 30, 50, 60, 70]),
+        ("runs/wave_infinite", "wave_infinite_final.ckpt", wave_infinite,
+         {"max_t": 20.0}, [10, 20, 30, 40, 60]),
+        ("runs/wave_semi", "wave_semi_infinite_final.ckpt",
+         wave_semi_infinite, {"max_t": 16.0}, [8, 16, 24, 32, 48]),
+        ("runs/wave_confined", "wave_confined_final.ckpt", wave_confined,
+         {"max_t": 14.0}, [6, 12, 18, 24, 40]),
+    ]
+    for run_dir, ck, mod, kwargs, frames in jobs:
+        path = os.path.join(run_dir, ck)
+        if not os.path.exists(path):
+            print(f"skip {path} (absent)")
+            continue
+        case = mod.build(scale=0.002, pad_to_multiple_of=1, **kwargs)
+        params = load_checkpoint(path, jnp.float32)["params"]
+        cmp = compare_frames(case, params, frames, dtype=np.float32)
+        cmp["checkpoint"] = ck
+        if mod is plate_hole:
+            cmp["hole_edge"] = hole_edge_errors(
+                case, params, dtype=np.float64
+            )
+        out = os.path.join(run_dir, "fem_errors.json")
+        with open(out, "w") as f:
+            json.dump(cmp, f, indent=2, default=float)
+        print(out, json.dumps(cmp["aggregate"], default=float))
+
+
+if __name__ == "__main__":
+    main()
