@@ -153,11 +153,13 @@ def minimize(
         patience=patience,
     )
     if init_carry is not None:
-        params, opt_state, f0, flat, _done = init_carry
-        # Clear the stop flags: a resumed run gets a fresh patience budget.
+        params, opt_state, f0, _flat, _done = init_carry
+        # Clear the stop flags AND the flat-step counter: a resumed run gets
+        # a fresh patience budget (otherwise a patience-stopped carry would
+        # re-stop on its first iteration).
         carry = (
             params, opt_state, jnp.asarray(f0),
-            jnp.asarray(flat, jnp.int32), jnp.asarray(False),
+            jnp.asarray(0, jnp.int32), jnp.asarray(False),
         )
     else:
         opt = _make_opt(cfg)

@@ -44,9 +44,13 @@ def main():
     ap.add_argument("--target", type=float, default=7.08e-4)
     ap.add_argument("--lbfgs-block", type=int, default=500,
                     help="L-BFGS iterations per plateau check")
-    ap.add_argument("--plateau-rel", type=float, default=2e-3,
+    ap.add_argument("--plateau-rel", type=float, default=3e-4,
                     help="relative loss drop per block below which L-BFGS "
                          "is declared plateaued")
+    ap.add_argument("--patience", type=int, default=50,
+                    help="consecutive flat f32 steps tolerated (unit-step "
+                         "iterations cost ~50 ms; hundreds of flats are "
+                         "cheaper than one cold restart)")
     ap.add_argument("--adam-block", type=int, default=4000)
     ap.add_argument("--metrics", default=None)
     args = ap.parse_args()
@@ -85,9 +89,11 @@ def main():
         cycle += 1
         # --- L-BFGS until plateau (carrying curvature between blocks) ---
         lb_t0 = time.time()
+        stale_blocks = 0
         while time.time() < t_end:
             res = minimize(sub_fn, sub, maxiter=args.lbfgs_block, segment=25,
-                           init_carry=carry, target=args.target)
+                           init_carry=carry, target=args.target,
+                           patience=args.patience)
             carry = res.carry
             sub = res.params
             f_now = float(res.final_loss)
@@ -100,8 +106,14 @@ def main():
                  "iters_per_sec": round(rate, 3)})
             save_if_better(sub, f_now)
             lb_t0 = time.time()
-            if f_now <= args.target or res.n_iters < args.lbfgs_block \
-                    or rel_drop < args.plateau_rel:
+            if f_now <= args.target:
+                break
+            # Carried L-BFGS is ~10x cheaper per unit progress than a cold
+            # restart (unit-step acceptance): only declare a plateau after
+            # two consecutive stale blocks.
+            stale_blocks = stale_blocks + 1 if rel_drop < args.plateau_rel \
+                else 0
+            if stale_blocks >= 2:
                 break
         if best <= args.target or time.time() >= t_end:
             break
@@ -109,7 +121,7 @@ def main():
         # --- Adam escape: decreasing-LR blocks while they out-descend ---
         sub = best_sub  # escape from the best point, not a wandered one
         carry = None    # curvature is stale after Adam moves the point
-        lr = 1e-4 if best > 3e-2 else 3e-5
+        lr = 3e-5 if best > 3e-3 else 1e-5
         for _ in range(4):
             if time.time() >= t_end:
                 break
