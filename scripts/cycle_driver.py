@@ -52,6 +52,13 @@ def main():
                          "iterations cost ~50 ms; hundreds of flats are "
                          "cheaper than one cold restart)")
     ap.add_argument("--adam-block", type=int, default=4000)
+    ap.add_argument("--bridge-iters", type=int, default=0,
+                    help="one-time Adam bridge before the first L-BFGS run: "
+                         "deliberately moves OFF a cold-start wedge point "
+                         "(f32 cold L-BFGS can fail to build curvature at "
+                         "low loss; carried L-BFGS built at a rougher point "
+                         "rides back down through it)")
+    ap.add_argument("--bridge-lr", type=float, default=1e-4)
     ap.add_argument("--metrics", default=None)
     args = ap.parse_args()
 
@@ -85,6 +92,13 @@ def main():
 
     cycle = 0
     carry = None
+    if args.bridge_iters:
+        r = run_adam(loss_aux, sub, args.bridge_lr, iters=args.bridge_iters,
+                     segment=200)
+        sub = r.params
+        log({"event": "bridge", "lr": args.bridge_lr,
+             "iters": args.bridge_iters,
+             "loss": float(r.history["loss"][-1])})
     while time.time() < t_end and best > args.target:
         cycle += 1
         # --- L-BFGS until plateau (carrying curvature between blocks) ---
