@@ -8,10 +8,21 @@ the unknown E, and the momentum residual ties stress gradients to
 accelerations through the unknown rho.
 
 Material parameters are optimized in log-space (positivity + better
-conditioning).  The sensor bank carries observed (u, v) at scattered
-spacetime points — by default sampled from the reference's FEM ground truth
-for the confined-wave case, so the ground-truth answer is the reference's
-E=2.5, rho=1.0 (ElasticWaveConfined/ElasticWave.py:33-35).
+conditioning).  The sensor bank carries observed (u, v) AND stresses at
+scattered spacetime points — by default sampled from the reference's FEM
+ground truth for the confined-wave case, so the ground-truth answer is the
+reference's E=2.5, rho=1.0 (ElasticWaveConfined/ElasticWave.py:33-35).
+
+**Identifiability**: with displacement-only observations and
+displacement-driven boundary conditions (prescribed source pulse + fixed
+edges), the joint scale of (E, rho) is NOT identifiable — scaling both by
+alpha scales sigma and rho*u_tt equally, leaving the displacement dynamics
+invariant, and the degenerate direction slopes toward the trivial
+E=rho=0 solution (observed empirically: a displacement-only run collapsed
+to E=0.047, rho=0.021 while preserving E/rho ~ 2.2 vs the true 2.5).
+Only the wave speed c^2 ~ E/rho is displacement-identifiable.  Observing
+stress at the sensors (strain gauges in practice) anchors the scale and
+makes both parameters identifiable.
 """
 
 from __future__ import annotations
@@ -41,7 +52,7 @@ class InverseProblem:
     E_init: float
     rho_init: float
     weights: Tuple[Tuple[str, float], ...] = (
-        ("f_uv", 5.0), ("f_s", 5.0), ("DATA", 10.0),
+        ("f_uv", 5.0), ("f_s", 5.0), ("DATA", 10.0), ("DATA_S", 10.0),
     )
 
     def init_params(self, banks=None, seed: int = 1111, dtype=jnp.float32):
@@ -82,6 +93,15 @@ class InverseProblem:
             masked_mean_square(fields[:, iu] - obs[:, 0], sens.mask)
             + masked_mean_square(fields[:, iv] - obs[:, 1], sens.mask)
         )
+        if "s" in sens.values:
+            # Stress observations: the scale anchor (see module docstring).
+            s_obs = sens.values["s"]
+            comps["DATA_S"] = sum(
+                masked_mean_square(
+                    fields[:, spec.index(ch)] - s_obs[:, j], sens.mask
+                )
+                for j, ch in enumerate(("s11", "s22", "s12"))
+            )
 
         wmap = dict(self.weights)
         total = sum(wmap.get(k, 0.0) * v for k, v in comps.items())
@@ -110,7 +130,7 @@ def sensors_from_fem(
     from ..eval import fem as fem_mod
 
     rng = np.random.default_rng(seed)
-    pts, uv = [], []
+    pts, uv, s = [], [], []
     for f in frames:
         d = fem_mod.load_frame(fem_dir, f)
         idx = rng.choice(d["x"].shape[0], size=n_per_frame, replace=False)
@@ -120,7 +140,9 @@ def sensors_from_fem(
             np.full(n_per_frame, t),
         ], axis=1))
         uv.append(np.stack([d["u"][idx], d["v"][idx]], axis=1))
-    return np.concatenate(pts), np.concatenate(uv)
+        s.append(np.stack([d["s11"][idx], d["s22"][idx], d["s12"][idx]],
+                          axis=1))
+    return np.concatenate(pts), np.concatenate(uv), np.concatenate(s)
 
 
 def build(
@@ -149,7 +171,7 @@ def build(
     col = smp.exclude_disk(col, xc=0, yc=0, r=2.0, strict=True)
 
     frames = np.linspace(1, 56, n_sensor_frames).astype(int)
-    pts, uv = sensors_from_fem(
+    pts, uv, s_obs = sensors_from_fem(
         wave_confined.FEM_DIR, frames,
         lambda f: f * max_t / 56,
         n_per_frame=s(sensors_per_frame) if scale < 1 else sensors_per_frame,
@@ -161,7 +183,7 @@ def build(
     )
     banks = {
         "collocation": mk(col),
-        "sensors": mk(pts, {"uv": uv}),
+        "sensors": mk(pts, {"uv": uv, "s": s_obs}),
     }
     problem = InverseProblem(
         name="inverse_confined_wave",

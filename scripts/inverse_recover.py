@@ -74,7 +74,7 @@ def main():
                         {"params": params})
 
     res = minimize(loss, params, maxiter=args.lbfgs_iters, segment=25,
-                   log_every=250)
+                   log_every=250, patience=50)
     params = res.params
     logger.log({"event": "lbfgs", "iters": int(res.n_iters),
                 "final_loss": float(res.final_loss),
