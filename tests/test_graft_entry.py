@@ -21,5 +21,7 @@ def test_dryrun_multichip_8(capsys):
 
 
 def test_dryrun_multichip_too_many_devices():
-    with pytest.raises(AssertionError, match="need 9999 devices"):
+    # Self-provisioning raises RuntimeError once the backend is already
+    # initialized with fewer devices (provisioning only works pre-init).
+    with pytest.raises(RuntimeError, match="need 9999 devices"):
         graft.dryrun_multichip(9999)
