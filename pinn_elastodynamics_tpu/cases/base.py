@@ -172,11 +172,13 @@ def run_pipeline(
             continue  # phase completed before the checkpoint was taken
         maxiter = (maxiter_override or {}).get(phase.name, phase.maxiter)
         init_carry = None
+        base_iters = 0  # cumulative phase iterations completed before this call
         if skip_until is not None and phase.name == skip_until:
             skip_until = None
             if resume_state.get("lbfgs_carry") is not None:
                 init_carry = tuple(resume_state["lbfgs_carry"])
-                maxiter = max(0, maxiter - int(resume_state.get("iters", 0)))
+                base_iters = int(resume_state.get("iters", 0))
+                maxiter = max(0, maxiter - base_iters)
                 if maxiter == 0:
                     params = _merge_resumed(case, phase, params, init_carry[0])
                     continue
@@ -197,13 +199,16 @@ def run_pipeline(
             seg_count = [0]
 
             def on_segment(k, sub_params, hist, *, carry=None, _phase=phase,
-                           _merge=merge, _params=params, _count=seg_count):
+                           _merge=merge, _params=params, _count=seg_count,
+                           _base=base_iters):
                 _count[0] += 1
                 if _count[0] % checkpoint_every_segments == 0:
                     save_checkpoint(checkpoint_path, {
                         "params": _merge(_params, sub_params),
                         "phase": _phase.name,
-                        "iters": k,
+                        # cumulative across resumes so a second crash+resume
+                        # subtracts the right base (mirrors curriculum.py).
+                        "iters": _base + k,
                         "lbfgs_carry": carry,
                     })
 

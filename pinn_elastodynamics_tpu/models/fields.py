@@ -32,6 +32,22 @@ from . import mlp as mlp_mod
 SECOND_ORDER = "second_order"
 FIRST_ORDER = "first_order"
 
+_TPU_PLATFORMS = ("tpu", "axon")
+
+
+def _execution_platform() -> str:
+    """Platform the computation will actually run on.
+
+    ``jax.default_backend()`` is process-global and ignores
+    ``jax.default_device`` scopes/config; honoring the configured default
+    device keeps ``jet_impl='auto'`` consistent when a TPU-host process pins
+    a case to CPU (otherwise it silently selects the non-interpret Pallas
+    kernel and faults)."""
+    dev = jax.config.jax_default_device
+    if dev is not None:
+        return dev.platform
+    return jax.default_backend()
+
 # Channel layouts, 2D.
 CH_2D = {
     SECOND_ORDER: ("u", "v", "s11", "s22", "s12"),
@@ -122,15 +138,11 @@ class MLPFieldModel:
         order = self.spec.jet_order if order is None else order
         impl = self.jet_impl
         if impl == "auto":
-            impl = (
-                "pallas"
-                if jax.default_backend() in ("tpu", "axon")
-                else "xla"
-            )
+            impl = "pallas" if _execution_platform() in _TPU_PLATFORMS else "xla"
         if impl == "pallas":
             from ..kernels.fused_jet_vjp import fused_jet_vjp
 
-            interpret = jax.default_backend() not in ("tpu", "axon")
+            interpret = _execution_platform() not in _TPU_PLATFORMS
             lb = self.lb if self.normalize else None
             ub = self.ub if self.normalize else None
             return fused_jet_vjp(params, xyt, order, 512, interpret, lb, ub)

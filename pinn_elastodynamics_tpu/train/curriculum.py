@@ -102,20 +102,30 @@ def run_time_curriculum(
                     "params": p, "iters": _base + it, "lbfgs_carry": carry,
                 })
 
-        res = minimize(
-            case.loss_fn(case.loss), params,
-            maxiter=max(1, stage.maxiter - done_iters), log_every=log_every,
-            init_carry=init_carry,
-            on_segment=on_segment if live_path else None,
-            target=stage.target,
-        )
-        params = res.params
+        if done_iters >= stage.maxiter:
+            # The live checkpoint already reached the stage budget; don't
+            # force extra iterations — score the checkpointed params as-is.
+            import jax
+
+            final_loss = float(jax.jit(case.loss_fn(case.loss))(params))
+            iters_total = done_iters
+        else:
+            res = minimize(
+                case.loss_fn(case.loss), params,
+                maxiter=stage.maxiter - done_iters, log_every=log_every,
+                init_carry=init_carry,
+                on_segment=on_segment if live_path else None,
+                target=stage.target,
+            )
+            params = res.params
+            final_loss = float(res.final_loss)
+            iters_total = int(res.n_iters) + done_iters
         wall = time.perf_counter() - t0
         summary = {
             "stage": k,
             "max_t": stage.max_t,
-            "iters": int(res.n_iters) + done_iters,
-            "final_loss": float(res.final_loss),
+            "iters": iters_total,
+            "final_loss": final_loss,
             "wall_seconds": wall,
         }
         summaries.append(summary)

@@ -53,8 +53,10 @@ def main():
           flush=True)
 
     t_end = time.time() + args.minutes * 60
-    carry, total = None, 0
-    while time.time() < t_end:
+    carry, total, res = None, 0, None
+    while res is None or time.time() < t_end:
+        # First block runs unconditionally so the report below always has a
+        # result even with --minutes <= 0.
         res = minimize(sub_fn, sub0 if carry is None else res.params,
                        maxiter=200, segment=25, init_carry=carry,
                        patience=100)
