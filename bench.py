@@ -59,7 +59,7 @@ def _rate_blocked(scalar_loss, params, banks, n_col, iters):
 
 
 def _seconds_to_target(scale, threshold, maxiter, *, seed=0, window=30,
-                       with_cpu=True):
+                       with_cpu=True, repeats=3):
     """Wall-clock for the from-scratch plate uv phase to reach ``threshold``.
 
     BASELINE.md metric #1 made measurable at bench timescales: the full
@@ -92,15 +92,25 @@ def _seconds_to_target(scale, threshold, maxiter, *, seed=0, window=30,
     sub_fn, sub0, _merge = _phase_loss_fn(case, phase, params)
     minimize(sub_fn, sub0, maxiter=10, segment=10)  # warm the executable
 
-    t0 = time.perf_counter()
-    res = minimize(
-        sub_fn, sub0, maxiter=maxiter, segment=10, target=threshold
-    )
-    wall = time.perf_counter() - t0
+    # Repeat-and-median: the single-run number proved 2.2x noisy between
+    # captures (host-state-sensitive dispatch; VERDICT r2 weak-point #4).
+    # The trajectory from identical (sub0, seed) is deterministic, so the
+    # spread is pure timing noise and the median is the honest figure.
+    walls = []
+    res = None
+    for _ in range(max(1, repeats)):
+        t0 = time.perf_counter()
+        res = minimize(
+            sub_fn, sub0, maxiter=maxiter, segment=10, target=threshold
+        )
+        walls.append(time.perf_counter() - t0)
+    wall = float(np.median(walls))
     hit = bool(float(res.final_loss) <= threshold)
 
     out = {
         "seconds_to_target": round(wall, 2),
+        "seconds_to_target_spread": [round(min(walls), 2),
+                                     round(max(walls), 2)],
         "target_loss": threshold,
         "target_iters": int(res.n_iters),
         "target_hit": hit,
@@ -148,23 +158,30 @@ def _seconds_to_target(scale, threshold, maxiter, *, seed=0, window=30,
 
 
 def _lbfgs_iter_rate(case, params, iters):
-    """Steady-state L-BFGS per-iteration wall (excl. compile + cold start).
+    """L-BFGS per-iteration wall in BOTH regimes (compile excluded).
 
-    The first ~100 cold iterations are line-search-dominated (the zoom
-    search burns tens of evals while curvature memory builds); production
-    runs are carried (init_carry) and step at ~1 eval/iteration.  Measure
-    the rate over a carried window following a cold warmup, which is the
-    regime long training runs actually live in.
+    *Cold*: a fresh optimizer from the given params — zoom line searches
+    burn tens of evals/iteration while curvature memory builds (this regime
+    dominated the round-2 endgame at ~0.5 it/s and belongs in the record,
+    VERDICT r2 weak-point #7).  *Carried*: continuing with curvature memory
+    intact (init_carry) at ~1 eval/iteration — the production regime of long
+    runs.  Returns (carried_rate, carried_iters, cold_rate).
     """
     from pinn_elastodynamics_tpu.train.lbfgs import minimize
 
     loss = case.loss_fn(case.phases[-1].loss)
+    # Compile both executables (segment=50 while_loop + seed eval), discard.
+    minimize(loss, params, maxiter=50, segment=50, patience=200)
+    t0 = time.perf_counter()
     warm = minimize(loss, params, maxiter=100, segment=50, patience=200)
+    cold_wall = time.perf_counter() - t0
+    cold_rate = warm.n_iters / cold_wall if cold_wall > 0 else None
     t0 = time.perf_counter()
     res = minimize(loss, params, maxiter=iters, segment=min(50, iters),
                    ftol=0.0, init_carry=warm.carry, patience=200)
     wall = time.perf_counter() - t0
-    return res.n_iters / wall if wall > 0 else None, res.n_iters
+    rate = res.n_iters / wall if wall > 0 else None
+    return rate, res.n_iters, cold_rate
 
 
 def main():
@@ -197,9 +214,10 @@ def main():
 
     lbfgs_rate = None
     lbfgs_iters = None
+    lbfgs_cold = None
     if not args.skip_lbfgs:
         try:
-            lbfgs_rate, lbfgs_iters = _lbfgs_iter_rate(
+            lbfgs_rate, lbfgs_iters, lbfgs_cold = _lbfgs_iter_rate(
                 case, params, args.lbfgs_iters
             )
         except Exception:
@@ -245,6 +263,9 @@ def main():
         "n_collocation": n_col,
         "step_seconds": round(step_s, 6),
         "lbfgs_iters_per_sec": round(lbfgs_rate, 2) if lbfgs_rate else None,
+        "lbfgs_iters_per_sec_cold": (
+            round(lbfgs_cold, 2) if lbfgs_cold else None
+        ),
         "lbfgs_iters_measured": lbfgs_iters,
         "cpu_evals_per_sec": round(cpu_rate, 1) if cpu_rate else None,
         **stt,

@@ -73,10 +73,23 @@ def make_bank(
     )
 
 
-def masked_mean_square(r: jax.Array, mask: jax.Array) -> jax.Array:
-    """mean(r²) over valid points — the reference's tf.reduce_mean(tf.square)."""
+def masked_mean_square(r: jax.Array, mask: jax.Array, dtype=None) -> jax.Array:
+    """mean(r²) over valid points — the reference's tf.reduce_mean(tf.square).
+
+    ``dtype`` upcasts the square-and-reduce tail (residuals stay in the
+    network's compute dtype).  With ``jnp.float64`` this gives the loss
+    scalar full f64 resolution while the jets stay f32 — the
+    extended-precision endgame path: near the optimum the per-iteration
+    loss decrease falls below f32's 1e-7 relative resolution and the
+    strong-Wolfe line search can no longer certify descent (the f32 floor
+    documented in docs/STATUS_r2.md), even though the f32 *residuals*
+    carry plenty of signal.
+    """
     if r.ndim > 1:
         r = r.reshape(r.shape[0])
+    if dtype is not None:
+        r = r.astype(dtype)
+        mask = mask.astype(dtype)
     return jnp.sum(r * r * mask) / jnp.maximum(jnp.sum(mask), 1.0)
 
 

@@ -31,8 +31,11 @@ MAX_T = 10.0
 FEM_DIR = "/root/reference/PlateHoleQuarter/FEM_result/Quarter_plate_hole_dynamic"
 
 
-def build_model(precision=None, jet_impl="auto") -> CompositeFieldModel:
+def build_model(precision=None, jet_impl="auto", fourier: int = 0,
+                fourier_scale: float = 1.0) -> CompositeFieldModel:
     # uv [3]+8*[70]+[5], dist/part [3]+4*[20]+[5] (train.py:885-887).
+    # ``fourier`` > 0 puts a random-Fourier-feature embedding on the uv net
+    # (spectral-bias lever for the lagging small-magnitude stress fields).
     spec = FieldSpec(ndim=2, formulation=SECOND_ORDER)
     return CompositeFieldModel(
         spec=spec,
@@ -41,6 +44,11 @@ def build_model(precision=None, jet_impl="auto") -> CompositeFieldModel:
         part_hidden=(20,) * 4,
         precision=precision,
         jet_impl=jet_impl,
+        uv_fourier=fourier,
+        uv_fourier_scale=fourier_scale,
+        normalize=bool(fourier),
+        lb=LB if fourier else None,
+        ub=UB if fourier else None,
     )
 
 
@@ -174,11 +182,13 @@ def build(
     maxiter_uv: int = 70000,
     precision="highest",
     jet_impl="auto",
+    fourier: int = 0,
+    fourier_scale: float = 1.0,
 ) -> Case:
     ftol = 1e-5 * float(np.finfo(np.float64).eps)  # train.py:227
     return Case(
         name="plate_hole_quarter",
-        model=build_model(precision, jet_impl),
+        model=build_model(precision, jet_impl, fourier, fourier_scale),
         material=Material(E=20.0, mu=0.25, rho=1.0),
         plane=PLANE_STRESS,
         loss=main_loss(),

@@ -27,10 +27,24 @@ SRC_R = 2.0
 FEM_DIR = "/root/reference/ElasticWaveSemiInfinite/FEM_result"
 
 
-def build_model(max_t: float = 16.0, precision=None, jet_impl="auto") -> MLPFieldModel:
+def build_model(max_t: float = 16.0, precision=None, jet_impl="auto",
+                fourier: int = 0, fourier_scale: float = 1.0):
     # [3] + 8*[100] + [7] (:679); no input normalization (:198).
+    # ``fourier`` > 0 swaps in the random-Fourier-feature embedding
+    # (models/fourier.py) — the spectral-bias remedy for wave problems;
+    # normalized inputs so the feature frequencies are domain-relative.
+    spec = FieldSpec(ndim=2, formulation=FIRST_ORDER)
+    if fourier:
+        from ..models.fourier import FourierMLPFieldModel
+
+        return FourierMLPFieldModel(
+            spec=spec, hidden=(100,) * 8, n_features=fourier,
+            feature_scale=fourier_scale, normalize=True,
+            lb=(-15.0, -15.0, 0.0), ub=(15.0, 15.0, max_t),
+            precision=precision,
+        )
     return MLPFieldModel(
-        spec=FieldSpec(ndim=2, formulation=FIRST_ORDER),
+        spec=spec,
         hidden=(100,) * 8,
         precision=precision,
         jet_impl=jet_impl,
@@ -120,12 +134,15 @@ def eval_grid(num: int = 201) -> np.ndarray:
 
 def build(
     *, max_t: float = 16.0, seed: int = 1111, scale: float = 1.0,
-    dtype=np.float32, pad_to_multiple_of: int = 1, maxiter: int = 1000, precision="highest", jet_impl="auto",
+    dtype=np.float32, pad_to_multiple_of: int = 1, maxiter: int = 1000,
+    precision="highest", jet_impl="auto",
+    fourier: int = 0, fourier_scale: float = 1.0,
 ) -> Case:
     ftol = 1e-3 * float(np.finfo(np.float64).eps)  # :136
     return Case(
         name="elastic_wave_semi_infinite",
-        model=build_model(max_t, precision=precision, jet_impl=jet_impl),
+        model=build_model(max_t, precision=precision, jet_impl=jet_impl,
+                          fourier=fourier, fourier_scale=fourier_scale),
         material=Material(E=2.5, mu=0.25, rho=1.0),
         plane=PLANE_STRAIN,
         loss=main_loss(),

@@ -89,18 +89,42 @@ def hole_edge_errors(
     return {"per_time": per_time, "aggregate": agg}
 
 
+def mid_frames(case: Case) -> List[int]:
+    """The reference's own validation frames: quarter-, (3/8)- and half-period.
+
+    The reference validates at mid-pulse times, not over the whole horizon —
+    plate train.py:992-998 plots t = 2.5/3.75/5.0 of T = 10 (frames 20/30/40
+    of 81), and the wave scripts' result plots show the pulse mid-flight.
+    Full-horizon aggregates mix near-zero-field early frames and late-time
+    drift, so both are reported (VERDICT r2 weak-point #8).
+    """
+    n = case.n_frames - 1
+    return sorted({int(round(n / 4)), int(round(3 * n / 8)),
+                   int(round(n / 2))})
+
+
 def compare_frames(
     case: Case, params, frames: Optional[Sequence[int]] = None,
-    *, dtype=np.float64,
+    *, dtype=np.float64, with_mid: bool = True,
 ) -> Dict[str, object]:
-    """Per-frame + aggregate errors over a frame set (default: all frames)."""
+    """Per-frame + aggregate errors over a frame set (default: all frames).
+
+    With ``with_mid`` the result also carries ``aggregate_mid`` over
+    :func:`mid_frames` — comparable to the reference's validation practice.
+    """
     if frames is None:
         frames = range(case.n_frames)
-    per_frame: List[Dict[str, float]] = []
-    for i in frames:
-        per_frame.append(frame_errors(case, params, i, dtype=dtype))
-    return {
-        "frames": list(frames),
-        "per_frame": per_frame,
-        "aggregate": metrics.aggregate(per_frame),
+    frames = list(frames)
+    errs: Dict[int, Dict[str, float]] = {}
+    mids = mid_frames(case) if with_mid else []
+    for i in sorted(set(frames) | set(mids)):
+        errs[i] = frame_errors(case, params, i, dtype=dtype)
+    out = {
+        "frames": frames,
+        "per_frame": [errs[i] for i in frames],
+        "aggregate": metrics.aggregate([errs[i] for i in frames]),
     }
+    if with_mid:
+        out["mid_frames"] = mids
+        out["aggregate_mid"] = metrics.aggregate([errs[i] for i in mids])
+    return out

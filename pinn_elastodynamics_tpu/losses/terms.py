@@ -48,17 +48,18 @@ class PDEResidual:
     name_uv: str = "f_uv"
     name_s: str = "f_s"
 
-    def evaluate(self, model, params, mat: Material, bank: PointBank):
+    def evaluate(self, model, params, mat: Material, bank: PointBank,
+                 accum_dtype=None):
         spec: FieldSpec = model.spec
         jet = model.jet(params, bank.xyt)
         res = res_ops.residuals(jet, spec, mat, self.plane)
         out = {}
         out[self.name_uv] = sum(
-            masked_mean_square(res[n], bank.mask)
+            masked_mean_square(res[n], bank.mask, accum_dtype)
             for n in res_ops.momentum_group(spec)
         )
         out[self.name_s] = sum(
-            masked_mean_square(res[n], bank.mask)
+            masked_mean_square(res[n], bank.mask, accum_dtype)
             for n in res_ops.stress_group(spec)
         )
         return out
@@ -81,7 +82,8 @@ class FieldTarget:
     target_key: Optional[str] = None
     net: Optional[str] = None
 
-    def evaluate(self, model, params, mat: Material, bank: PointBank):
+    def evaluate(self, model, params, mat: Material, bank: PointBank,
+                 accum_dtype=None):
         del mat
         net, net_params = _net_view(model, params, self.net)
         needs_dt = any(c.startswith(DT_PREFIX) for c in self.channels)
@@ -92,7 +94,7 @@ class FieldTarget:
             fields, dt = net.apply(net_params, bank.xyt), None
 
         targets = bank.values.get(self.target_key) if self.target_key else None
-        total = jnp.zeros((), fields.dtype)
+        total = jnp.zeros((), accum_dtype or fields.dtype)
         for j, ch in enumerate(self.channels):
             if ch.startswith(DT_PREFIX):
                 pred = dt[:, net.spec.index(ch[len(DT_PREFIX):])]
@@ -101,7 +103,7 @@ class FieldTarget:
             if targets is not None:
                 tgt = targets[:, j] if targets.ndim > 1 else targets
                 pred = pred - tgt
-            total = total + masked_mean_square(pred, bank.mask)
+            total = total + masked_mean_square(pred, bank.mask, accum_dtype)
         return {self.name: total}
 
 
@@ -119,7 +121,8 @@ class Traction:
     target_key: Optional[str] = None
     net: Optional[str] = None
 
-    def evaluate(self, model, params, mat: Material, bank: PointBank):
+    def evaluate(self, model, params, mat: Material, bank: PointBank,
+                 accum_dtype=None):
         del mat
         net, net_params = _net_view(model, params, self.net)
         fields = net.apply(net_params, bank.xyt)
@@ -132,11 +135,11 @@ class Traction:
                 fields, net.spec, normals[:, 0], normals[:, 1], normals[:, 2]
             )
         targets = bank.values.get(self.target_key) if self.target_key else None
-        total = jnp.zeros((), fields.dtype)
+        total = jnp.zeros((), accum_dtype or fields.dtype)
         for j, c in enumerate(comps):
             if targets is not None:
                 c = c - targets[:, j]
-            total = total + masked_mean_square(c, bank.mask)
+            total = total + masked_mean_square(c, bank.mask, accum_dtype)
         return {self.name: total}
 
 
@@ -149,14 +152,17 @@ class Regression:
     target_key: str = "targets"
     net: Optional[str] = None
 
-    def evaluate(self, model, params, mat: Material, bank: PointBank):
+    def evaluate(self, model, params, mat: Material, bank: PointBank,
+                 accum_dtype=None):
         del mat
         net, net_params = _net_view(model, params, self.net)
         pred = net.apply(net_params, bank.xyt)
         targets = bank.values[self.target_key]
-        total = jnp.zeros((), pred.dtype)
+        total = jnp.zeros((), accum_dtype or pred.dtype)
         for j in range(pred.shape[1]):
-            total = total + masked_mean_square(pred[:, j] - targets[:, j], bank.mask)
+            total = total + masked_mean_square(
+                pred[:, j] - targets[:, j], bank.mask, accum_dtype
+            )
         return {self.name: total}
 
 
@@ -171,15 +177,26 @@ class LossSpec:
 
     terms: Tuple[Tuple[str, object], ...]
     weights: Tuple[Tuple[str, float], ...]
+    # Extended-precision reduction tail: "float64" upcasts every component's
+    # square-and-mean (and the weighted total) while jets stay in the model's
+    # compute dtype.  This restores loss-difference resolution for the
+    # L-BFGS line search far below f32's 1e-7 floor at a few percent cost —
+    # the TPU endgame path (the reference gets this by training entirely in
+    # f64 on CPU, train.py:115).
+    accum_dtype: Optional[str] = None
 
     def weight_map(self) -> Dict[str, float]:
         return dict(self.weights)
 
     def evaluate(self, model, params, mat: Material, banks: Dict[str, PointBank]):
         """Returns (total_scalar, components_dict)."""
+        adt = self.accum_dtype or None  # dtype-like string; jnp accepts it
         comps: Dict[str, object] = {}
         for bank_name, term in self.terms:
-            for k, v in term.evaluate(model, params, mat, banks[bank_name]).items():
+            out = term.evaluate(
+                model, params, mat, banks[bank_name], accum_dtype=adt
+            )
+            for k, v in out.items():
                 comps[k] = comps.get(k, 0.0) + v
         wmap = self.weight_map()
         total = sum(wmap.get(k, 0.0) * v for k, v in comps.items())

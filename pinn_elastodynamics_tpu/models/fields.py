@@ -170,6 +170,12 @@ class CompositeFieldModel:
     # Composite: the Pallas jet pays a fixed per-launch overhead, so it only
     # helps the big uv net; the tiny dist/part nets always use the XLA jet.
     jet_impl: str = "xla"
+    # Random-Fourier-feature embedding on the uv net (0 = plain MLP) — the
+    # spectral-bias lever for the small-magnitude stress fields
+    # (models/fourier.py).  dist/part stay plain (they regress smooth
+    # low-frequency targets).
+    uv_fourier: int = 0
+    uv_fourier_scale: float = 1.0
 
     def _sub(self, hidden, jet_impl: str = "xla") -> MLPFieldModel:
         return MLPFieldModel(
@@ -183,7 +189,17 @@ class CompositeFieldModel:
         )
 
     @property
-    def uv_net(self) -> MLPFieldModel:
+    def uv_net(self):
+        if self.uv_fourier:
+            from .fourier import FourierMLPFieldModel
+
+            return FourierMLPFieldModel(
+                spec=self.spec, hidden=self.uv_hidden,
+                n_features=self.uv_fourier,
+                feature_scale=self.uv_fourier_scale,
+                normalize=self.normalize, lb=self.lb, ub=self.ub,
+                precision=self.precision,
+            )
         return self._sub(self.uv_hidden, jet_impl=self.jet_impl)
 
     @property

@@ -130,11 +130,13 @@ def main(argv=None):
         "components": case.components(params),
     })
 
-    # Reference-compatible export of the main network.
+    # Reference-compatible export of the main network (plain-MLP layouts
+    # only — Fourier-feature params have no [W, b] reference equivalent).
     uv = params["uv"] if isinstance(params, dict) and "uv" in params else params
-    ckpt.save_reference_pickle(
-        os.path.join(args.out, f"{case.name}_uv.pickle"), uv
-    )
+    if not (isinstance(uv, dict) and "B" in uv):
+        ckpt.save_reference_pickle(
+            os.path.join(args.out, f"{case.name}_uv.pickle"), uv
+        )
 
     if args.compare_fem and case.fem_dir:
         from .eval.compare import compare_frames
@@ -142,6 +144,7 @@ def main(argv=None):
         frames = list(range(0, case.n_frames, max(1, case.n_frames // 16)))
         cmp = compare_frames(case, params, frames, dtype=np.float32)
         logger.log({"event": "fem_errors", **cmp["aggregate"]})
+        logger.log({"event": "fem_errors_mid", **cmp["aggregate_mid"]})
         with open(os.path.join(args.out, "fem_errors.json"), "w") as f:
             json.dump(cmp, f, indent=2, default=float)
 
