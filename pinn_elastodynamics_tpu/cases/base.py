@@ -122,6 +122,54 @@ def _phase_loss_fn(case: Case, phase: Phase, params):
     return sub_fn, params[key], merge
 
 
+def mixed_precision_phase_fn(case: Case, phase: Phase, params64):
+    """Extended-precision phase loss: f64 parameter/optimizer space over the
+    f32 compute path.
+
+    The f32 plate-hole endgame wedges because near the optimum the
+    per-iteration loss decrease and the curvature pairs y = g_{k+1} - g_k
+    fall below f32 resolution (docs/STATUS_r2.md); the reference sidesteps
+    this by training entirely in f64 on CPU (train.py:115).  Here the
+    network forward/backward stays f32 (Pallas kernels, full MXU speed) —
+    parameters are cast f64→f32 at the model boundary — while the
+    square-and-reduce loss tail (LossSpec.accum_dtype) and every L-BFGS
+    internal (two-loop recursion, curvature memory, zoom line search) run
+    in f64.  Requires ``jax.config.update('jax_enable_x64', True)``.
+
+    Returns (sub_fn, sub0, merge) like :func:`_phase_loss_fn`, operating on
+    f64 trees.
+    """
+    spec64 = dataclasses.replace(phase.loss, accum_dtype="float64")
+    to32 = lambda tree: jax.tree.map(
+        lambda a: a.astype(jnp.float32), tree
+    )
+    if phase.trainable is None:
+        def sub_fn(p64):
+            total, _ = spec64.evaluate(
+                case.model, to32(p64), case.material, case.banks
+            )
+            return phase.scale * total
+
+        return sub_fn, params64, lambda p, sub: sub
+
+    key = phase.trainable
+    frozen32 = {k: to32(v) for k, v in params64.items() if k != key}
+
+    def sub_fn(sub64):
+        total, _ = spec64.evaluate(
+            case.model, {**frozen32, key: to32(sub64)},
+            case.material, case.banks,
+        )
+        return phase.scale * total
+
+    def merge(p, sub):
+        out = dict(p)
+        out[key] = sub
+        return out
+
+    return sub_fn, params64[key], merge
+
+
 def run_pipeline(
     case: Case,
     params=None,

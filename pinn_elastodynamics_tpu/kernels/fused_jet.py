@@ -106,20 +106,24 @@ def _fused_jet_padded(x_blocks, ws, bs, meta_key, order, block, interpret):
     rows = n_streams * block
     n_blocks = x_blocks.shape[0]
 
+    # Index maps must return int32: under jax_enable_x64 a literal Python 0
+    # canonicalizes to i64 and Mosaic fails to legalize the map's return
+    # (extended-precision training runs enable x64 for the f64 loss tail).
+    z = lambda: jnp.asarray(0, jnp.int32)
     out = pl.pallas_call(
         partial(_kernel, n_layers=n_layers, n_streams=n_streams, block=block,
                 order=order),
         out_shape=jax.ShapeDtypeStruct((n_blocks, rows, p), jnp.float32),
         grid=(n_blocks,),
         in_specs=[
-            pl.BlockSpec((1, rows, p), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, rows, p), lambda i: (i, z(), z()),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_layers, p, p), lambda i: (0, 0, 0),
+            pl.BlockSpec((n_layers, p, p), lambda i: (z(), z(), z()),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_layers, p), lambda i: (0, 0),
+            pl.BlockSpec((n_layers, p), lambda i: (z(), z()),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, rows, p), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((1, rows, p), lambda i: (i, z(), z()),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(x_blocks, ws, bs)

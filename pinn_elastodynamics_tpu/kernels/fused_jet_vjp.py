@@ -152,6 +152,9 @@ def _fused_jet_bwd_padded(x_blocks, cot_blocks, ws, bs, meta_key, order,
     rows = n_streams * block
     n_blocks = x_blocks.shape[0]
 
+    # int32 index maps: Python 0 canonicalizes to i64 under jax_enable_x64
+    # and Mosaic fails to legalize the map (see fused_jet.py).
+    z = lambda: jnp.asarray(0, jnp.int32)
     dw, db, dx = pl.pallas_call(
         partial(_bwd_kernel, n_layers=n_layers, n_streams=n_streams,
                 block=block, order=order),
@@ -162,21 +165,21 @@ def _fused_jet_bwd_padded(x_blocks, cot_blocks, ws, bs, meta_key, order,
         ),
         grid=(n_blocks,),
         in_specs=[
-            pl.BlockSpec((1, rows, p), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, rows, p), lambda i: (i, z(), z()),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, rows, p), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, rows, p), lambda i: (i, z(), z()),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_layers, p, p), lambda i: (0, 0, 0),
+            pl.BlockSpec((n_layers, p, p), lambda i: (z(), z(), z()),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_layers, p), lambda i: (0, 0),
+            pl.BlockSpec((n_layers, p), lambda i: (z(), z()),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((n_layers, p, p), lambda i: (0, 0, 0),
+            pl.BlockSpec((n_layers, p, p), lambda i: (z(), z(), z()),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_layers, p), lambda i: (0, 0),
+            pl.BlockSpec((n_layers, p), lambda i: (z(), z()),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block, p), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, block, p), lambda i: (i, z(), z()),
                          memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[

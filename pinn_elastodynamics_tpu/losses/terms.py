@@ -26,6 +26,14 @@ from ..ops.elasticity import Material
 DT_PREFIX = "dt:"  # channel name "dt:u" = time derivative of channel u
 
 
+def _mms(r, mask, dtype, collector, name):
+    """masked_mean_square + optional chunk-sum collection (see
+    banks.ChunkSumCollector — the host-f64 loss reconstruction path)."""
+    if collector is not None:
+        collector.add(name, r, mask)
+    return masked_mean_square(r, mask, dtype)
+
+
 def _net_view(model, params, net: Optional[str]):
     """Resolve a term's network view: the full (possibly composite) model, or
     one of a composite's sub-networks ('uv' | 'dist' | 'part')."""
@@ -49,17 +57,17 @@ class PDEResidual:
     name_s: str = "f_s"
 
     def evaluate(self, model, params, mat: Material, bank: PointBank,
-                 accum_dtype=None):
+                 accum_dtype=None, collector=None):
         spec: FieldSpec = model.spec
         jet = model.jet(params, bank.xyt)
         res = res_ops.residuals(jet, spec, mat, self.plane)
         out = {}
         out[self.name_uv] = sum(
-            masked_mean_square(res[n], bank.mask, accum_dtype)
+            _mms(res[n], bank.mask, accum_dtype, collector, self.name_uv)
             for n in res_ops.momentum_group(spec)
         )
         out[self.name_s] = sum(
-            masked_mean_square(res[n], bank.mask, accum_dtype)
+            _mms(res[n], bank.mask, accum_dtype, collector, self.name_s)
             for n in res_ops.stress_group(spec)
         )
         return out
@@ -83,7 +91,7 @@ class FieldTarget:
     net: Optional[str] = None
 
     def evaluate(self, model, params, mat: Material, bank: PointBank,
-                 accum_dtype=None):
+                 accum_dtype=None, collector=None):
         del mat
         net, net_params = _net_view(model, params, self.net)
         needs_dt = any(c.startswith(DT_PREFIX) for c in self.channels)
@@ -103,7 +111,8 @@ class FieldTarget:
             if targets is not None:
                 tgt = targets[:, j] if targets.ndim > 1 else targets
                 pred = pred - tgt
-            total = total + masked_mean_square(pred, bank.mask, accum_dtype)
+            total = total + _mms(pred, bank.mask, accum_dtype, collector,
+                                 self.name)
         return {self.name: total}
 
 
@@ -122,7 +131,7 @@ class Traction:
     net: Optional[str] = None
 
     def evaluate(self, model, params, mat: Material, bank: PointBank,
-                 accum_dtype=None):
+                 accum_dtype=None, collector=None):
         del mat
         net, net_params = _net_view(model, params, self.net)
         fields = net.apply(net_params, bank.xyt)
@@ -139,7 +148,8 @@ class Traction:
         for j, c in enumerate(comps):
             if targets is not None:
                 c = c - targets[:, j]
-            total = total + masked_mean_square(c, bank.mask, accum_dtype)
+            total = total + _mms(c, bank.mask, accum_dtype, collector,
+                                 self.name)
         return {self.name: total}
 
 
@@ -153,15 +163,16 @@ class Regression:
     net: Optional[str] = None
 
     def evaluate(self, model, params, mat: Material, bank: PointBank,
-                 accum_dtype=None):
+                 accum_dtype=None, collector=None):
         del mat
         net, net_params = _net_view(model, params, self.net)
         pred = net.apply(net_params, bank.xyt)
         targets = bank.values[self.target_key]
         total = jnp.zeros((), accum_dtype or pred.dtype)
         for j in range(pred.shape[1]):
-            total = total + masked_mean_square(
-                pred[:, j] - targets[:, j], bank.mask, accum_dtype
+            total = total + _mms(
+                pred[:, j] - targets[:, j], bank.mask, accum_dtype,
+                collector, self.name,
             )
         return {self.name: total}
 
@@ -188,13 +199,19 @@ class LossSpec:
     def weight_map(self) -> Dict[str, float]:
         return dict(self.weights)
 
-    def evaluate(self, model, params, mat: Material, banks: Dict[str, PointBank]):
-        """Returns (total_scalar, components_dict)."""
+    def evaluate(self, model, params, mat: Material,
+                 banks: Dict[str, PointBank], collector=None):
+        """Returns (total_scalar, components_dict).
+
+        ``collector`` (banks.ChunkSumCollector) additionally records every
+        component's per-chunk partial sums for host-f64 loss reconstruction.
+        """
         adt = self.accum_dtype or None  # dtype-like string; jnp accepts it
         comps: Dict[str, object] = {}
         for bank_name, term in self.terms:
             out = term.evaluate(
-                model, params, mat, banks[bank_name], accum_dtype=adt
+                model, params, mat, banks[bank_name], accum_dtype=adt,
+                collector=collector,
             )
             for k, v in out.items():
                 comps[k] = comps.get(k, 0.0) + v

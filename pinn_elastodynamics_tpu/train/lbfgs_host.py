@@ -1,0 +1,275 @@
+"""Host-precision L-BFGS: f64 optimizer math on the host, f32 evals on TPU.
+
+Why this exists: the f32 plate-hole endgame wedges because loss differences
+and curvature pairs fall below f32 resolution (docs/STATUS_r2.md), the
+reference escapes by training entirely in f64 on CPU
+(/root/reference/PlateHoleQuarter/train/train.py:115), and full-f64 graphs —
+even just the f64 *optimizer* internals over an f32 compute path — hang the
+axon TPU remote compile.  So the split is moved to the only boundary this
+environment supports: the device runs ONE compiled function (value+grad of
+the f32 Pallas forward with the float64 reduction tail, LossSpec.accum_dtype)
+and the host runs the entire optimizer — two-loop recursion, curvature
+memory, strong-Wolfe zoom line search, scipy's ftol rule — in numpy float64.
+
+This is the reference's own host/device split (scipy ↔ TF session,
+train.py:219-247,508-525) but with the per-iteration device work being one
+fused Pallas evaluation instead of dozens of graph launches, and with
+noise-aware safeguards (cautious curvature acceptance) because the gradient
+itself carries f32 noise.
+
+Device L-BFGS (train/lbfgs.py) remains the production path away from the
+precision floor; this engine takes over for the endgame.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Callable, List, Optional, Tuple
+
+import numpy as np
+
+
+def make_host_phase_vg(case, phase, params, *, chunk_size: int = 512):
+    """Device value+grad for :func:`minimize_host` over one case phase.
+
+    The device function is PURE f32 (Pallas jets at full speed, compiles
+    like any production step); it returns the f32 grad plus every loss
+    component's per-chunk partial sums (banks.ChunkSumCollector), and the
+    host reassembles the float64 loss:  mean_k = Σ_chunks(sums)/count in
+    f64, total = Σ_k w_k·mean_k.  Loss resolution ~eps32/n_chunks instead
+    of eps32 — the device side of the extended-precision endgame.
+
+    Returns (host_vg, x0_flat64, unravel32) where host_vg maps a float64
+    flat vector to (float64 loss, float64 flat grad) and unravel32 maps a
+    flat vector back to the phase's f32 sub-params pytree.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.flatten_util import ravel_pytree
+
+    spec = phase.loss
+    from ..banks import ChunkSumCollector
+
+    to32 = lambda tree: jax.tree.map(
+        lambda a: jnp.asarray(a, jnp.float32), tree
+    )
+    key = phase.trainable
+    if key is None:
+        frozen = None
+        sub0 = params
+    else:
+        # Frozen sub-nets live on device in f32 (the compute dtype).
+        frozen = {k: to32(v) for k, v in params.items() if k != key}
+        sub0 = params[key]
+    # Seed x0 from the checkpoint's own dtype (f64 checkpoints keep their
+    # full precision on the host side), but build the unravel over f32.
+    x0_flat = np.asarray(ravel_pytree(sub0)[0], np.float64)
+    flat0, unravel32 = ravel_pytree(to32(sub0))
+    names_box: List[str] = []
+
+    def fn(zflat32):
+        sub32 = unravel32(zflat32)
+        p = {**frozen, key: sub32} if key is not None else sub32
+        coll = ChunkSumCollector(chunk_size)
+        total, _comps = spec.evaluate(
+            case.model, p, case.material, case.banks, collector=coll
+        )
+        names_box.clear()
+        names_box.extend(coll.names)
+        return phase.scale * total, (tuple(coll.arrays), tuple(coll.counts))
+
+    vg = jax.jit(jax.value_and_grad(fn, has_aux=True))
+    wmap = spec.weight_map()
+    scale = float(phase.scale)
+
+    def host_vg(z64: np.ndarray):
+        z32 = jnp.asarray(np.asarray(z64, np.float32))
+        (_f32, (sums, counts)), g = vg(z32)
+        comp = {}
+        for name, s_arr, c in zip(names_box, sums, counts):
+            comp[name] = comp.get(name, 0.0) + (
+                float(np.asarray(s_arr, np.float64).sum()) / float(c)
+            )
+        total = scale * sum(wmap.get(k, 0.0) * v for k, v in comp.items())
+        return total, np.asarray(g, np.float64)
+
+    del flat0
+    return host_vg, x0_flat, unravel32
+
+
+@dataclasses.dataclass
+class HostLBFGSResult:
+    x: np.ndarray
+    final_loss: float
+    n_iters: int
+    n_evals: int
+    loss_history: np.ndarray
+    converged: str  # "maxiter" | "ftol" | "gtol" | "target" | "linesearch"
+    carry: Optional[dict] = None  # curvature memory for resumption
+
+
+def _two_loop(g: np.ndarray, S: List[np.ndarray], Y: List[np.ndarray],
+              R: List[float]) -> np.ndarray:
+    """Standard two-loop recursion with gamma scaling; all float64."""
+    q = g.copy()
+    alphas = []
+    for s, y, rho in zip(reversed(S), reversed(Y), reversed(R)):
+        a = rho * s.dot(q)
+        alphas.append(a)
+        q -= a * y
+    if S:
+        gamma = S[-1].dot(Y[-1]) / Y[-1].dot(Y[-1])
+        q *= gamma
+    for (s, y, rho), a in zip(zip(S, Y, R), reversed(alphas)):
+        b = rho * y.dot(q)
+        q += (a - b) * s
+    return -q
+
+
+def minimize_host(
+    value_and_grad: Callable[[np.ndarray], Tuple[float, np.ndarray]],
+    x0: np.ndarray,
+    *,
+    maxiter: int,
+    memory_size: int = 50,
+    max_linesearch_steps: int = 50,
+    c1: float = 1e-4,
+    c2: float = 0.9,
+    ftol: float = 1e-5 * np.finfo(np.float64).eps,
+    gtol: float = 0.0,
+    patience: int = 20,
+    target: float = -np.inf,
+    wall_budget: Optional[float] = None,
+    init_carry: Optional[dict] = None,
+    on_iter: Optional[Callable] = None,
+    curvature_eps: float = 1e-10,
+) -> HostLBFGSResult:
+    """Minimize with host-f64 L-BFGS + strong-Wolfe zoom line search.
+
+    ``value_and_grad`` maps a float64 vector to (float64 loss, float64 grad)
+    — typically a jitted TPU function whose compute is f32 with an f64
+    reduction tail.  ``init_carry``/``result.carry`` persist curvature
+    memory across calls (dict of arrays — picklable for checkpoints).
+    ``on_iter(k, x, f)`` runs every iteration (logging / checkpoint hooks).
+    Curvature pairs with y·s <= curvature_eps·|y||s| are skipped (cautious
+    update: f32 gradient noise must not poison the inverse-Hessian model).
+    """
+    x = np.asarray(x0, np.float64).copy()
+    t_end = time.time() + wall_budget if wall_budget else None
+
+    S: List[np.ndarray] = []
+    Y: List[np.ndarray] = []
+    R: List[float] = []
+    n_evals = 0
+
+    def vg(z):
+        nonlocal n_evals
+        n_evals += 1
+        f, g = value_and_grad(z)
+        return float(f), np.asarray(g, np.float64)
+
+    if init_carry is not None:
+        S = [np.asarray(s) for s in init_carry["S"]]
+        Y = [np.asarray(y) for y in init_carry["Y"]]
+        R = [float(r) for r in init_carry["R"]]
+
+    f, g = vg(x)
+    history = [f]
+    flat = 0
+    status = "maxiter"
+    k = 0
+
+    for k in range(1, maxiter + 1):
+        if t_end and time.time() > t_end:
+            break
+        d = _two_loop(g, S, Y, R)
+        dg = d.dot(g)
+        if dg >= 0:  # not a descent direction (noise-corrupted memory)
+            S.clear(); Y.clear(); R.clear()
+            d = -g
+            dg = -g.dot(g)
+        if dg == 0.0:
+            status = "gtol"
+            break
+
+        # --- strong-Wolfe zoom line search (Nocedal & Wright alg. 3.5/3.6),
+        # all comparisons in f64 where f32 could not certify descent.
+        f0, g0d = f, dg
+        alpha, alpha_prev = 1.0, 0.0
+        f_prev_ls, fd_prev = f0, g0d
+        f_new, g_new = None, None
+        lo = hi = None
+        flo = fdlo = None
+        for ls in range(max_linesearch_steps):
+            f_a, g_a = vg(x + alpha * d)
+            fd_a = g_a.dot(d)
+            if f_a > f0 + c1 * alpha * g0d or (ls > 0 and f_a >= f_prev_ls):
+                lo, hi, flo, fdlo = alpha_prev, alpha, f_prev_ls, fd_prev
+                break
+            if abs(fd_a) <= -c2 * g0d:
+                f_new, g_new = f_a, g_a
+                break
+            if fd_a >= 0:
+                lo, hi, flo, fdlo = alpha, alpha_prev, f_a, fd_a
+                break
+            alpha_prev, f_prev_ls, fd_prev = alpha, f_a, fd_a
+            alpha = min(alpha * 2.0, 1e4)
+        else:
+            # Exhausted expansion: take the last point if it descended.
+            if f_a < f0:
+                f_new, g_new, alpha = f_a, g_a, alpha
+        if f_new is None and lo is not None:
+            # zoom phase
+            for _ in range(max_linesearch_steps):
+                a_mid = 0.5 * (lo + hi)
+                f_m, g_m = vg(x + a_mid * d)
+                fd_m = g_m.dot(d)
+                if f_m > f0 + c1 * a_mid * g0d or f_m >= flo:
+                    hi = a_mid
+                else:
+                    if abs(fd_m) <= -c2 * g0d:
+                        alpha, f_new, g_new = a_mid, f_m, g_m
+                        break
+                    if fd_m * (hi - lo) >= 0:
+                        hi = lo
+                    lo, flo, fdlo = a_mid, f_m, fd_m
+                if abs(hi - lo) < 1e-14:
+                    if flo < f0:
+                        alpha, f_new = lo, flo
+                        _, g_new = vg(x + lo * d)
+                    break
+        if f_new is None:
+            status = "linesearch"
+            break
+
+        x_new = x + alpha * d
+        s = x_new - x
+        y = g_new - g
+        sy = s.dot(y)
+        if sy > curvature_eps * np.linalg.norm(s) * np.linalg.norm(y):
+            S.append(s); Y.append(y); R.append(1.0 / sy)
+            if len(S) > memory_size:
+                S.pop(0); Y.pop(0); R.pop(0)
+
+        denom = max(abs(f), abs(f_new), 1.0)
+        flat = flat + 1 if (f - f_new) <= ftol * denom else 0
+        x, f, g = x_new, f_new, g_new
+        history.append(f)
+        if on_iter is not None:
+            on_iter(k, x, f)
+        if f <= target:
+            status = "target"
+            break
+        if flat >= patience:
+            status = "ftol"
+            break
+        if gtol > 0 and np.max(np.abs(g)) <= gtol:
+            status = "gtol"
+            break
+
+    carry = {"S": S, "Y": Y, "R": R}
+    return HostLBFGSResult(
+        x=x, final_loss=f, n_iters=k, n_evals=n_evals,
+        loss_history=np.asarray(history), converged=status, carry=carry,
+    )

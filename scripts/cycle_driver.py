@@ -59,8 +59,18 @@ def main():
                          "low loss; carried L-BFGS built at a rougher point "
                          "rides back down through it)")
     ap.add_argument("--bridge-lr", type=float, default=1e-4)
+    ap.add_argument("--precision", choices=["f32", "mixed"], default="f32",
+                    help="'mixed' = f64 params/optimizer + f64 loss tail "
+                         "over the f32 Pallas compute path (the endgame "
+                         "regime where f32 loss-difference resolution "
+                         "wedges the line search)")
     ap.add_argument("--metrics", default=None)
     args = ap.parse_args()
+
+    if args.precision == "mixed":
+        import jax
+
+        jax.config.update("jax_enable_x64", True)
 
     t_end = time.time() + args.hours * 3600
     mpath = args.metrics or os.path.join(
@@ -74,9 +84,15 @@ def main():
         print(rec, flush=True)
 
     case = plate_hole.build(scale=1.0, pad_to_multiple_of=8)
-    params = load_checkpoint(args.ckpt_in, jnp.float32)["params"]
     phase = case.phases[-1]
-    sub_fn, sub, merge = _phase_loss_fn(case, phase, params)
+    if args.precision == "mixed":
+        from pinn_elastodynamics_tpu.cases.base import mixed_precision_phase_fn
+
+        params = load_checkpoint(args.ckpt_in, jnp.float64)["params"]
+        sub_fn, sub, merge = mixed_precision_phase_fn(case, phase, params)
+    else:
+        params = load_checkpoint(args.ckpt_in, jnp.float32)["params"]
+        sub_fn, sub, merge = _phase_loss_fn(case, phase, params)
     loss_aux = lambda s: (sub_fn(s), {})
 
     best = float(sub_fn(sub))
@@ -159,6 +175,11 @@ def main():
     log({"event": "done", "loss": best, "cycles": cycle})
     from pinn_elastodynamics_tpu.eval.compare import frame_errors
 
+    if args.precision == "mixed":
+        # Render in f32: f64 matmuls don't belong on the TPU eval path.
+        import jax
+
+        full = jax.tree.map(lambda a: a.astype(jnp.float32), full)
     for frame in (10, 20, 60):
         errs = frame_errors(case, full, frame, dtype=np.float32)
         log({"event": "fem", "frame": frame,

@@ -1,0 +1,87 @@
+"""Host-f64 L-BFGS engine + chunk-sum loss reconstruction tests.
+
+The extended-precision endgame path: device = pure-f32 value+grad emitting
+per-chunk partial sums, host = f64 two-loop/zoom-line-search optimizer
+(train/lbfgs_host.py).  See banks.ChunkSumCollector for why f64 never
+touches the device graph.
+"""
+
+import numpy as np
+
+from pinn_elastodynamics_tpu.cases import plate_hole
+from pinn_elastodynamics_tpu.train.lbfgs_host import (
+    HostLBFGSResult,
+    make_host_phase_vg,
+    minimize_host,
+)
+
+
+def _rosen_vg(x):
+    f = np.sum(100.0 * (x[1:] - x[:-1] ** 2) ** 2 + (1 - x[:-1]) ** 2)
+    g = np.zeros_like(x)
+    g[:-1] = -400.0 * x[:-1] * (x[1:] - x[:-1] ** 2) - 2 * (1 - x[:-1])
+    g[1:] += 200.0 * (x[1:] - x[:-1] ** 2)
+    return f, g
+
+
+def test_rosenbrock_converges_to_machine_precision():
+    res = minimize_host(_rosen_vg, np.full(20, -1.2), maxiter=1500,
+                        patience=50)
+    assert isinstance(res, HostLBFGSResult)
+    assert res.final_loss < 1e-12
+    # Healthy carried regime: ~1 eval per iteration, not a zoom storm.
+    assert res.n_evals < 2.5 * res.n_iters
+
+
+def test_carry_resume_continues_descent():
+    A = np.diag(np.linspace(1.0, 300.0, 40))
+
+    def quad(x):
+        return 0.5 * x.dot(A @ x), A @ x
+
+    r1 = minimize_host(quad, np.ones(40), maxiter=8)
+    r2 = minimize_host(quad, r1.x, maxiter=300, init_carry=r1.carry)
+    assert r2.final_loss < 1e-16
+    # With curvature memory carried, resumption should not need more total
+    # iterations than a fresh full run.
+    r_full = minimize_host(quad, np.ones(40), maxiter=400)
+    assert r1.n_iters + r2.n_iters <= r_full.n_iters + 10
+
+
+def test_chunk_sum_reconstruction_matches_f64_truth():
+    """Host-f64 total from f32 chunk sums ≈ the true f64 loss (forward noise
+    only, ~1e-6 relative), and exactly reproduces the f32 component means."""
+    import jax.numpy as jnp
+
+    case = plate_hole.build(scale=0.05, pad_to_multiple_of=8, jet_impl="xla")
+    params = case.init_params(seed=3)
+    phase = case.phases[-1]
+    host_vg, x0, unravel = make_host_phase_vg(case, phase, params)
+    f_host, g = host_vg(x0)
+    assert g.dtype == np.float64 and g.shape == x0.shape
+    assert np.all(np.isfinite(g))
+
+    # f32 reference value of the same loss.
+    f32_val = float(case.loss_fn(phase.loss, phase.scale)(params))
+    assert abs(f_host - f32_val) / max(abs(f32_val), 1e-30) < 1e-5
+
+    # True f64 loss (CPU x64 path, f64 banks + params).
+    case64 = plate_hole.build(scale=0.05, pad_to_multiple_of=8,
+                              dtype=np.float64, jet_impl="xla")
+    params64 = {k: [
+        {kk: jnp.asarray(vv, jnp.float64) for kk, vv in layer.items()}
+        for layer in v] for k, v in params.items()}
+    f64_val = float(case64.loss_fn(phase.loss, phase.scale)(params64))
+    assert abs(f_host - f64_val) / max(abs(f64_val), 1e-30) < 1e-4
+
+
+def test_host_lbfgs_descends_on_plate_phase():
+    case = plate_hole.build(scale=0.02, pad_to_multiple_of=8, jet_impl="xla")
+    params = case.init_params(seed=0)
+    phase = case.phases[-1]
+    host_vg, x0, _ = make_host_phase_vg(case, phase, params)
+    f0, _ = host_vg(x0)
+    res = minimize_host(host_vg, x0, maxiter=30, patience=50)
+    assert res.final_loss < 0.9 * f0
+    assert res.converged in ("maxiter", "ftol", "gtol", "target",
+                             "linesearch")
