@@ -1,0 +1,183 @@
+"""Hybrid plate endgame: device-f32 L-BFGS sprints + host-f64 L-BFGS drills.
+
+Measured regimes (round 3, this TPU):
+  * device-resident f32 carried L-BFGS: ~16-25 it/s, but near the optimum it
+    stops certifying descent (f32 loss-difference resolution; the round-2
+    wedge at ~0.029).
+  * host-f64 L-BFGS over the pure-f32 chunk-sum step (scripts/host_endgame.py
+    machinery): ~1.7-1.9 it/s, immune to the resolution floor — and moving
+    the point in f64 has been observed to UN-wedge the f32 engine
+    (the f64-polish evidence, docs/STATUS_r2.md).
+
+So: sprint with the f32 engine while it makes progress; when it goes stale,
+drill with the host engine for a fixed block; retry the sprint.  All
+best-point bookkeeping is done with the host engine's f64 loss measure.
+
+Usage:
+  python scripts/hybrid_endgame.py CKPT_IN CKPT_OUT --hours 2.5 \
+      [--target 7.08e-4]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("ckpt_in")
+    ap.add_argument("ckpt_out")
+    ap.add_argument("--hours", type=float, default=2.5)
+    ap.add_argument("--target", type=float, default=7.08e-4)
+    ap.add_argument("--case", default="plate_hole",
+                    help="case module name (plate_hole, wave_semi_infinite, "
+                         "wave_confined, wave_infinite)")
+    ap.add_argument("--max-t", type=float, default=None,
+                    help="horizon override for wave cases (final curriculum "
+                         "horizon)")
+    ap.add_argument("--chunk", type=int, default=512)
+    ap.add_argument("--f32-block", type=int, default=1000)
+    ap.add_argument("--f32-stale-rel", type=float, default=2e-4,
+                    help="relative drop per f32 block below which the f32 "
+                         "engine is stale")
+    ap.add_argument("--host-block", type=int, default=400)
+    ap.add_argument("--host-blocks", type=int, default=2)
+    ap.add_argument("--metrics", default=None)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from jax.flatten_util import ravel_pytree
+
+    from pinn_elastodynamics_tpu.cases.base import _phase_loss_fn
+    from pinn_elastodynamics_tpu.train.checkpoint import (
+        load_checkpoint,
+        save_checkpoint,
+    )
+    from pinn_elastodynamics_tpu.train.lbfgs import minimize
+    from pinn_elastodynamics_tpu.train.lbfgs_host import (
+        make_host_phase_vg,
+        minimize_host,
+    )
+
+    mpath = args.metrics or os.path.join(
+        os.path.dirname(args.ckpt_out) or ".", "hybrid_endgame.jsonl")
+    mfile = open(mpath, "a")
+
+    def log(rec):
+        rec["t"] = round(time.time(), 1)
+        mfile.write(json.dumps(rec) + "\n")
+        mfile.flush()
+        print(rec, flush=True)
+
+    t_end = time.time() + args.hours * 3600
+    import importlib
+
+    mod = importlib.import_module(
+        f"pinn_elastodynamics_tpu.cases.{args.case}")
+    build_kwargs = dict(scale=1.0, pad_to_multiple_of=8)
+    if args.max_t is not None:
+        build_kwargs["max_t"] = args.max_t
+    case = mod.build(**build_kwargs)
+    phase = case.phases[-1]
+    params = load_checkpoint(args.ckpt_in, jnp.float32)["params"]
+    sub_fn, _sub0, merge = _phase_loss_fn(case, phase, params)
+    host_vg, x0, unravel32 = make_host_phase_vg(
+        case, phase, params, chunk_size=args.chunk
+    )
+    state = load_checkpoint(args.ckpt_in)
+    if "x64_flat" in state:
+        x0 = np.asarray(state["x64_flat"], np.float64)  # resume at full prec
+
+    f_best, _ = host_vg(x0)
+    x_best = x0.copy()
+    log({"event": "start", "loss": f_best, "hours": args.hours,
+         "n_params": int(x0.size)})
+
+    def save_best(k_note):
+        full = merge(params, unravel32(
+            jnp.asarray(np.asarray(x_best, np.float32))))
+        save_checkpoint(args.ckpt_out, {
+            "params": full, "loss": f_best, "note": k_note,
+            "x64_flat": x_best,
+        })
+
+    def consider(x, note):
+        nonlocal f_best, x_best
+        f64, _ = host_vg(x)
+        if f64 < f_best:
+            f_best, x_best = f64, x.copy()
+            save_best(note)
+        log({"event": "measure", "note": note, "loss_f64": f64,
+             "best": f_best})
+        return f64
+
+    x = x0.copy()
+    host_carry = None
+    total_f32 = total_host = 0
+    while time.time() < t_end and f_best > args.target:
+        # ---- f32 sprint ----
+        sub = unravel32(jnp.asarray(np.asarray(x, np.float32)))
+        carry = None
+        stale = 0
+        sprint_iters = 0
+        while time.time() < t_end:
+            res = minimize(sub_fn, sub, maxiter=args.f32_block, segment=50,
+                           init_carry=carry, patience=100,
+                           target=args.target)
+            sub, carry = res.params, res.carry
+            sprint_iters += res.n_iters
+            h = res.loss_history
+            rel = ((float(h[0]) - float(res.final_loss))
+                   / max(abs(float(h[0])), 1e-30)) if len(h) > 1 else 0.0
+            log({"event": "f32_block", "iters": sprint_iters,
+                 "loss_f32": float(res.final_loss), "rel_drop": rel})
+            if float(res.final_loss) <= args.target:
+                break
+            stale = stale + 1 if rel < args.f32_stale_rel else 0
+            if stale >= 2 or res.n_iters < args.f32_block:
+                break
+        total_f32 += sprint_iters
+        x = np.asarray(ravel_pytree(sub)[0], np.float64)
+        consider(x, f"f32_sprint_{total_f32}")
+        if f_best <= args.target or time.time() >= t_end:
+            break
+
+        # ---- host-f64 drill ----
+        x = x_best.copy()
+        host_carry = None  # x jumped to best; stale memory
+        for b in range(args.host_blocks):
+            if time.time() >= t_end:
+                break
+            hres = minimize_host(
+                host_vg, x, maxiter=args.host_block, patience=200,
+                target=args.target, init_carry=host_carry,
+                wall_budget=max(30.0, t_end - time.time()),
+            )
+            host_carry = hres.carry
+            x = hres.x
+            total_host += hres.n_iters
+            log({"event": "host_block", "iters": total_host,
+                 "loss_f64": hres.final_loss, "status": hres.converged,
+                 "evals_per_iter": round(
+                     hres.n_evals / max(hres.n_iters, 1), 2)})
+            if hres.final_loss < f_best:
+                f_best, x_best = hres.final_loss, x.copy()
+                save_best(f"host_{total_host}")
+            if hres.final_loss <= args.target:
+                break
+
+    save_best("final")
+    log({"event": "done", "loss": f_best, "f32_iters": total_f32,
+         "host_iters": total_host})
+    mfile.close()
+
+
+if __name__ == "__main__":
+    main()
