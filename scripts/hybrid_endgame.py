@@ -127,25 +127,40 @@ def main():
         carry = None
         stale = 0
         sprint_iters = 0
-        while time.time() < t_end:
-            res = minimize(sub_fn, sub, maxiter=args.f32_block, segment=50,
-                           init_carry=carry, patience=100,
-                           target=args.target)
+        # Cold L-BFGS at low loss burns ~100 zoom evals/iteration; a 50-iter
+        # segment is then a multi-minute monolithic device execution and
+        # trips the TPU watchdog (observed: "TPU worker crashed").  Warm up
+        # with short segments, then stretch once the carry steps at ~1
+        # eval/iteration.
+        try:
+            res = minimize(sub_fn, sub, maxiter=100, segment=10,
+                           init_carry=None, patience=100, target=args.target)
             sub, carry = res.params, res.carry
             sprint_iters += res.n_iters
-            h = res.loss_history
-            rel = ((float(h[0]) - float(res.final_loss))
-                   / max(abs(float(h[0])), 1e-30)) if len(h) > 1 else 0.0
-            log({"event": "f32_block", "iters": sprint_iters,
-                 "loss_f32": float(res.final_loss), "rel_drop": rel})
-            if float(res.final_loss) <= args.target:
-                break
-            stale = stale + 1 if rel < args.f32_stale_rel else 0
-            if stale >= 2 or res.n_iters < args.f32_block:
-                break
-        total_f32 += sprint_iters
-        x = np.asarray(ravel_pytree(sub)[0], np.float64)
-        consider(x, f"f32_sprint_{total_f32}")
+            log({"event": "f32_warmup", "iters": sprint_iters,
+                 "loss_f32": float(res.final_loss)})
+            while time.time() < t_end:
+                res = minimize(sub_fn, sub, maxiter=args.f32_block,
+                               segment=50, init_carry=carry, patience=100,
+                               target=args.target)
+                sub, carry = res.params, res.carry
+                sprint_iters += res.n_iters
+                h = res.loss_history
+                rel = ((float(h[0]) - float(res.final_loss))
+                       / max(abs(float(h[0])), 1e-30)) if len(h) > 1 else 0.0
+                log({"event": "f32_block", "iters": sprint_iters,
+                     "loss_f32": float(res.final_loss), "rel_drop": rel})
+                if float(res.final_loss) <= args.target:
+                    break
+                stale = stale + 1 if rel < args.f32_stale_rel else 0
+                if stale >= 2 or res.n_iters < args.f32_block:
+                    break
+            total_f32 += sprint_iters
+            x = np.asarray(ravel_pytree(sub)[0], np.float64)
+            consider(x, f"f32_sprint_{total_f32}")
+        except Exception as e:  # device fault mid-sprint: fall back to host
+            log({"event": "f32_fault", "error": repr(e)[:200]})
+            time.sleep(60)  # let a wedged chip recover
         if f_best <= args.target or time.time() >= t_end:
             break
 
