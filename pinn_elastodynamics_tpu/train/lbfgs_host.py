@@ -85,7 +85,10 @@ def make_host_phase_vg(case, phase, params, *, chunk_size: int = 512):
 
     def host_vg(z64: np.ndarray):
         z32 = jnp.asarray(np.asarray(z64, np.float32))
-        (_f32, (sums, counts)), g = vg(z32)
+        out = vg(z32)
+        # One batched fetch: per-buffer np.asarray costs a tunnel round trip
+        # each (~6-8 RPCs/eval dominated the first implementation's wall).
+        (_f32, (sums, counts)), g = jax.device_get(out)
         comp = {}
         for name, s_arr, c in zip(names_box, sums, counts):
             comp[name] = comp.get(name, 0.0) + (

@@ -59,11 +59,20 @@ def main():
         print(rec, flush=True)
 
     case = plate_hole.build(scale=1.0, pad_to_multiple_of=8)
-    params = load_checkpoint(args.ckpt_in, jnp.float64)["params"]
+    params = load_checkpoint(args.ckpt_in, jnp.float32)["params"]
     phase = case.phases[-1]
     host_vg, x0, unravel32 = make_host_phase_vg(
         case, phase, params, chunk_size=args.chunk
     )
+    # Full-precision resume: the raw pickle keeps x64_flat as float64
+    # (load_checkpoint would cast it with the rest of the tree).
+    import pickle
+
+    with open(args.ckpt_in, "rb") as f:
+        raw = pickle.load(f)
+    if isinstance(raw, dict) and "x64_flat" in raw:
+        x0 = np.asarray(raw["x64_flat"], np.float64)
+        print(f"resuming from x64_flat (f64, {x0.size} params)", flush=True)
 
     t0 = time.perf_counter()
     f0, g0 = host_vg(x0)
@@ -97,18 +106,35 @@ def main():
         if k % args.ckpt_every == 0:
             save_best(state["best_x"], state["best"], k)
 
+    init_carry = raw.get("host_carry") if isinstance(raw, dict) else None
+    if init_carry:
+        log({"event": "carry_resume", "pairs": len(init_carry["S"])})
     res = minimize_host(
         host_vg, x0, maxiter=10_000_000, memory_size=args.memory,
         patience=args.patience, target=args.target,
         wall_budget=args.hours * 3600, on_iter=on_iter,
+        init_carry=init_carry,
     )
     if res.final_loss < state["best"]:
         state["best"], state["best_x"] = res.final_loss, res.x
     save_best(state["best_x"], state["best"], res.n_iters)
+    # Persist curvature memory for cross-process resumption (only meaningful
+    # if the run ended AT the best point; a best-point jump invalidates it).
+    if res.final_loss <= state["best"] * (1 + 1e-12):
+        with open(args.ckpt_out, "rb") as f:
+            ck = pickle_load_raw(f)
+        ck["host_carry"] = res.carry
+        save_checkpoint(args.ckpt_out, ck)
     log({"event": "done", "loss": state["best"], "iters": res.n_iters,
          "evals": res.n_evals, "status": res.converged,
          "evals_per_iter": round(res.n_evals / max(res.n_iters, 1), 2)})
     mfile.close()
+
+
+def pickle_load_raw(f):
+    import pickle
+
+    return pickle.load(f)
 
 
 if __name__ == "__main__":
