@@ -183,6 +183,50 @@ def minimize_host(
     status = "maxiter"
     k = 0
 
+    def _linesearch(d, dg, alpha0):
+        """Strong-Wolfe zoom (Nocedal & Wright alg. 3.5/3.6) with an
+        accept-best-seen fallback: under f32 gradient noise the curvature
+        condition may be unattainable, but any f64-certified decrease is
+        progress — returns (alpha, f, g) or None."""
+        f0, g0d = f, dg
+        best = None  # (alpha, f, g) with f < f0, Wolfe or not
+        alpha, alpha_prev = alpha0, 0.0
+        f_prev_ls, fd_prev = f0, g0d
+        lo = hi = flo = None
+        for ls in range(max_linesearch_steps):
+            f_a, g_a = vg(x + alpha * d)
+            fd_a = g_a.dot(d)
+            if f_a < f0 and (best is None or f_a < best[1]):
+                best = (alpha, f_a, g_a)
+            if f_a > f0 + c1 * alpha * g0d or (ls > 0 and f_a >= f_prev_ls):
+                lo, hi, flo = alpha_prev, alpha, f_prev_ls
+                break
+            if abs(fd_a) <= -c2 * g0d:
+                return alpha, f_a, g_a
+            if fd_a >= 0:
+                lo, hi, flo = alpha, alpha_prev, f_a
+                break
+            alpha_prev, f_prev_ls, fd_prev = alpha, f_a, fd_a
+            alpha = min(alpha * 2.0, 1e4)
+        if lo is not None:
+            for _ in range(max_linesearch_steps):
+                a_mid = 0.5 * (lo + hi)
+                f_m, g_m = vg(x + a_mid * d)
+                fd_m = g_m.dot(d)
+                if f_m < f0 and (best is None or f_m < best[1]):
+                    best = (a_mid, f_m, g_m)
+                if f_m > f0 + c1 * a_mid * g0d or f_m >= flo:
+                    hi = a_mid
+                else:
+                    if abs(fd_m) <= -c2 * g0d:
+                        return a_mid, f_m, g_m
+                    if fd_m * (hi - lo) >= 0:
+                        hi = lo
+                    lo, flo = a_mid, f_m
+                if abs(hi - lo) < 1e-16 * max(1.0, abs(lo)):
+                    break
+        return best
+
     for k in range(1, maxiter + 1):
         if t_end and time.time() > t_end:
             break
@@ -196,55 +240,22 @@ def minimize_host(
             status = "gtol"
             break
 
-        # --- strong-Wolfe zoom line search (Nocedal & Wright alg. 3.5/3.6),
-        # all comparisons in f64 where f32 could not certify descent.
-        f0, g0d = f, dg
-        alpha, alpha_prev = 1.0, 0.0
-        f_prev_ls, fd_prev = f0, g0d
-        f_new, g_new = None, None
-        lo = hi = None
-        flo = fdlo = None
-        for ls in range(max_linesearch_steps):
-            f_a, g_a = vg(x + alpha * d)
-            fd_a = g_a.dot(d)
-            if f_a > f0 + c1 * alpha * g0d or (ls > 0 and f_a >= f_prev_ls):
-                lo, hi, flo, fdlo = alpha_prev, alpha, f_prev_ls, fd_prev
-                break
-            if abs(fd_a) <= -c2 * g0d:
-                f_new, g_new = f_a, g_a
-                break
-            if fd_a >= 0:
-                lo, hi, flo, fdlo = alpha, alpha_prev, f_a, fd_a
-                break
-            alpha_prev, f_prev_ls, fd_prev = alpha, f_a, fd_a
-            alpha = min(alpha * 2.0, 1e4)
-        else:
-            # Exhausted expansion: take the last point if it descended.
-            if f_a < f0:
-                f_new, g_new, alpha = f_a, g_a, alpha
-        if f_new is None and lo is not None:
-            # zoom phase
-            for _ in range(max_linesearch_steps):
-                a_mid = 0.5 * (lo + hi)
-                f_m, g_m = vg(x + a_mid * d)
-                fd_m = g_m.dot(d)
-                if f_m > f0 + c1 * a_mid * g0d or f_m >= flo:
-                    hi = a_mid
-                else:
-                    if abs(fd_m) <= -c2 * g0d:
-                        alpha, f_new, g_new = a_mid, f_m, g_m
-                        break
-                    if fd_m * (hi - lo) >= 0:
-                        hi = lo
-                    lo, flo, fdlo = a_mid, f_m, fd_m
-                if abs(hi - lo) < 1e-14:
-                    if flo < f0:
-                        alpha, f_new = lo, flo
-                        _, g_new = vg(x + lo * d)
-                    break
-        if f_new is None:
+        # Gradient-descent first step: scale to unit step length (standard
+        # cold-start guard against |g|-sized overshoot).
+        alpha0 = 1.0 if S else min(1.0, 1.0 / max(np.linalg.norm(g), 1.0))
+        hit = _linesearch(d, dg, alpha0)
+        if hit is None and S:
+            # Stale/noise-poisoned memory: restart memoryless before giving
+            # up (scipy's implicit behavior via its restart heuristics).
+            S.clear(); Y.clear(); R.clear()
+            d = -g
+            dg = -g.dot(g)
+            hit = _linesearch(d, dg, min(1.0, 1.0 / max(np.linalg.norm(g),
+                                                        1.0)))
+        if hit is None:
             status = "linesearch"
             break
+        alpha, f_new, g_new = hit
 
         x_new = x + alpha * d
         s = x_new - x
