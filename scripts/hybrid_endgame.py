@@ -77,6 +77,12 @@ def main():
         print(rec, flush=True)
 
     t_end = time.time() + args.hours * 3600
+    # Crash-resume: the axon tunnel/chip faults sporadically under sustained
+    # load (~every 35-40 min observed) and the JAX client cannot recover
+    # in-process.  Resume from our own output checkpoint when present; the
+    # outer shell loop relaunches us until the budget or target is hit.
+    if os.path.exists(args.ckpt_out):
+        args.ckpt_in = args.ckpt_out
     import importlib
 
     mod = importlib.import_module(
@@ -150,6 +156,14 @@ def main():
                        / max(abs(float(h[0])), 1e-30)) if len(h) > 1 else 0.0
                 log({"event": "f32_block", "iters": sprint_iters,
                      "loss_f32": float(res.final_loss), "rel_drop": rel})
+                # Fault insurance: persist every block (a mid-sprint chip
+                # crash must not cost the sprint).
+                x_blk = np.asarray(ravel_pytree(sub)[0], np.float64)
+                save_checkpoint(args.ckpt_out, {
+                    "params": merge(params, sub),
+                    "loss": float(res.final_loss), "x64_flat": x_blk,
+                    "note": f"sprint_{total_f32 + sprint_iters}",
+                })
                 if float(res.final_loss) <= args.target:
                     break
                 stale = stale + 1 if rel < args.f32_stale_rel else 0
@@ -158,9 +172,13 @@ def main():
             total_f32 += sprint_iters
             x = np.asarray(ravel_pytree(sub)[0], np.float64)
             consider(x, f"f32_sprint_{total_f32}")
-        except Exception as e:  # device fault mid-sprint: fall back to host
+        except Exception as e:
+            # Device fault: the JAX client is dead for this process.  The
+            # block checkpoints above preserved progress; exit and let the
+            # outer loop relaunch with a fresh client.
             log({"event": "f32_fault", "error": repr(e)[:200]})
-            time.sleep(60)  # let a wedged chip recover
+            mfile.close()
+            sys.exit(3)
         if f_best <= args.target or time.time() >= t_end:
             break
 
@@ -170,11 +188,18 @@ def main():
         for b in range(args.host_blocks):
             if time.time() >= t_end:
                 break
-            hres = minimize_host(
-                host_vg, x, maxiter=args.host_block, patience=200,
-                target=args.target, init_carry=host_carry,
-                wall_budget=max(30.0, t_end - time.time()),
-            )
+            try:
+                hres = minimize_host(
+                    host_vg, x, maxiter=args.host_block, patience=200,
+                    target=args.target, init_carry=host_carry,
+                    wall_budget=max(30.0, t_end - time.time()),
+                )
+            except Exception as e:
+                # Device fault: client dead; block checkpoints have the
+                # progress — exit for the outer relaunch loop.
+                log({"event": "host_fault", "error": repr(e)[:200]})
+                mfile.close()
+                sys.exit(3)
             host_carry = hres.carry
             x = hres.x
             total_host += hres.n_iters
