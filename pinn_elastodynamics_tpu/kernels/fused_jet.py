@@ -61,16 +61,12 @@ def pack_params(params: Params) -> Tuple[jax.Array, jax.Array, dict]:
     return jnp.stack(ws_layers), jnp.stack(bs_layers), meta
 
 
-def _kernel(x_ref, w_ref, b_ref, out_ref, *, n_layers: int, n_streams: int,
-            block: int, order: int):
-    """One point-block: run all layers over the stacked streams in VMEM.
+def _run_layers(s, w_ref, b_ref, *, n_layers: int, n_streams: int,
+                block: int, order: int):
+    """Run one MLP's layers over the stacked streams (VMEM arrays in, out).
 
-    x_ref:  (n_streams*block, P) stacked [value; tangents...; dtt] input rows.
-    w_ref:  (L, P, P) padded weights (VMEM-resident, whole network).
-    b_ref:  (L, P) padded biases.
-    out_ref:(n_streams*block, P) stacked outputs.
+    s: (n_streams*block, P) stacked [value; tangents...; dtt] rows.
     """
-    s = x_ref[0]
     for l in range(n_layers):
         z = jnp.dot(s, w_ref[l], preferred_element_type=jnp.float32,
                     precision=jax.lax.Precision.HIGHEST)
@@ -94,7 +90,54 @@ def _kernel(x_ref, w_ref, b_ref, out_ref, *, n_layers: int, n_streams: int,
                 ztt = z[(n_streams - 1) * block: n_streams * block, :]
                 parts.append(g * ztt - 2.0 * h * g * (zt * zt))
             s = jnp.concatenate(parts, axis=0)
-    out_ref[0] = s
+    return s
+
+
+def _kernel(x_ref, w_ref, b_ref, out_ref, *, n_layers: int, n_streams: int,
+            block: int, order: int):
+    """One point-block: run all layers over the stacked streams in VMEM."""
+    out_ref[0] = _run_layers(
+        x_ref[0], w_ref, b_ref, n_layers=n_layers, n_streams=n_streams,
+        block=block, order=order,
+    )
+
+
+def _composite_kernel(x_ref, wu_ref, bu_ref, wd_ref, bd_ref, wp_ref, bp_ref,
+                      out_ref, *, layers_uvdp: Tuple[int, int, int],
+                      n_streams: int, block: int, order: int):
+    """Hard-BC composite ``part + dist * uv`` in ONE launch.
+
+    Runs the three sub-networks back-to-back on the same VMEM-resident
+    point block (they share the seed streams: same inputs, same identity
+    tangents) and combines their jets by the product rule in VMEM — one
+    HBM read of the seed, one HBM write of the composite jet, instead of
+    three separate kernel round-trips (VERDICT r2 next-step #5; the
+    reference assembles the composite from three separate TF graphs,
+    /root/reference/PlateHoleQuarter/train/train.py:382-387).
+    """
+    lu, ld, lp = layers_uvdp
+    x = x_ref[0]
+    kw = dict(n_streams=n_streams, block=block, order=order)
+    su = _run_layers(x, wu_ref, bu_ref, n_layers=lu, **kw)
+    sd = _run_layers(x, wd_ref, bd_ref, n_layers=ld, **kw)
+    sp = _run_layers(x, wp_ref, bp_ref, n_layers=lp, **kw)
+
+    a = n_streams - 1 - (1 if order >= 2 else 0)  # #input tangents
+    uf, df, pf = su[0:block], sd[0:block], sp[0:block]
+    parts = [pf + df * uf]
+    for i in range(a):
+        r0, r1 = (1 + i) * block, (2 + i) * block
+        parts.append(sp[r0:r1] + sd[r0:r1] * uf + df * su[r0:r1])
+    if order >= 2:
+        t0, t1 = a * block, (1 + a) * block          # time tangent rows
+        q0, q1 = (1 + a) * block, (2 + a) * block    # dtt rows
+        parts.append(
+            sp[q0:q1]
+            + sd[q0:q1] * uf
+            + 2.0 * sd[t0:t1] * su[t0:t1]
+            + df * su[q0:q1]
+        )
+    out_ref[0] = jnp.concatenate(parts, axis=0)
 
 
 @partial(jax.jit, static_argnames=("meta_key", "order", "block", "interpret"))
@@ -203,20 +246,139 @@ def fused_jet(
     return Jet(f=f, d=d, dtt=dtt)
 
 
+@partial(jax.jit, static_argnames=("meta_key", "order", "block", "interpret"))
+def _fused_composite_padded(x_blocks, wu, bu, wd, bd, wp, bp, meta_key,
+                            order, block, interpret):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    layers_uvdp, p, n_streams = meta_key
+    rows = n_streams * block
+    n_blocks = x_blocks.shape[0]
+    z = lambda: jnp.asarray(0, jnp.int32)  # int32 index maps (x64-safe)
+
+    def wspec(n_layers):
+        return pl.BlockSpec((n_layers, p, p), lambda i: (z(), z(), z()),
+                            memory_space=pltpu.VMEM)
+
+    def bspec(n_layers):
+        return pl.BlockSpec((n_layers, p), lambda i: (z(), z()),
+                            memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        partial(_composite_kernel, layers_uvdp=layers_uvdp,
+                n_streams=n_streams, block=block, order=order),
+        out_shape=jax.ShapeDtypeStruct((n_blocks, rows, p), jnp.float32),
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((1, rows, p), lambda i: (i, z(), z()),
+                         memory_space=pltpu.VMEM),
+            wspec(layers_uvdp[0]), bspec(layers_uvdp[0]),
+            wspec(layers_uvdp[1]), bspec(layers_uvdp[1]),
+            wspec(layers_uvdp[2]), bspec(layers_uvdp[2]),
+        ],
+        out_specs=pl.BlockSpec((1, rows, p), lambda i: (i, z(), z()),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(x_blocks, wu, bu, wd, bd, wp, bp)
+    return out
+
+
+def fused_composite_jet(
+    params: dict,
+    x: jax.Array,
+    *,
+    order: int = 2,
+    lb=None,
+    ub=None,
+    block: int = 512,
+    interpret: bool = False,
+) -> Jet:
+    """One-launch composite jet: part + dist·uv with in-VMEM product rule.
+
+    Exactly models/fields.py::CompositeFieldModel.jet, but the three
+    sub-network forwards and the jet combination run inside a single Pallas
+    kernel (one seed read, one composite write)."""
+    packs = {k: pack_params(params[k]) for k in ("uv", "dist", "part")}
+    p = max(m["padded"] for _, _, m in packs.values())
+    for k, (w, b, m) in packs.items():
+        if m["padded"] != p:  # repad to the common lane width
+            w = jnp.pad(w, ((0, 0), (0, p - w.shape[1]), (0, p - w.shape[2])))
+            b = jnp.pad(b, ((0, 0), (0, p - b.shape[1])))
+            packs[k] = (w, b, m)
+    n, a = x.shape
+    n_streams = 1 + a + (1 if order >= 2 else 0)
+    # VMEM: seed + per-net stream stacks (uv's kept live through the
+    # combine) + output + unrolled-loop temporaries.
+    vmem_budget = 10 * 1024 * 1024
+    per_point = 10 * n_streams * p * 4
+    block = min(block, max(32, (vmem_budget // per_point) // 32 * 32))
+    n_pad = _round_up(max(n, block), block)
+
+    x32 = jnp.asarray(x, jnp.float32)
+    if lb is not None:
+        lb_ = jnp.asarray(lb, jnp.float32)
+        ub_ = jnp.asarray(ub, jnp.float32)
+        h0 = 2.0 * (x32 - lb_) / (ub_ - lb_) - 1.0
+        scale = 2.0 / (ub_ - lb_)
+        eye = jnp.eye(a, dtype=jnp.float32) * scale[None, :]
+    else:
+        h0 = x32
+        eye = jnp.eye(a, dtype=jnp.float32)
+
+    def pad_n(arr):
+        return jnp.pad(arr, ((0, n_pad - n), (0, p - arr.shape[1])))
+
+    streams = [pad_n(h0)]
+    for i in range(a):
+        streams.append(pad_n(jnp.broadcast_to(eye[i][None, :], (n, a))))
+    if order >= 2:
+        streams.append(pad_n(jnp.zeros((n, a), jnp.float32)))
+    stacked = jnp.stack(streams, axis=0)
+    n_blocks = n_pad // block
+    interleaved = (
+        stacked.reshape(n_streams, n_blocks, block, p)
+        .transpose(1, 0, 2, 3)
+        .reshape(n_blocks, n_streams * block, p)
+    )
+
+    layers_uvdp = tuple(packs[k][2]["n_layers"] for k in ("uv", "dist", "part"))
+    meta_key = (layers_uvdp, p, n_streams)
+    wu, bu, _ = packs["uv"]
+    wd, bd, _ = packs["dist"]
+    wp, bp, _ = packs["part"]
+    out = _fused_composite_padded(
+        interleaved, wu, bu, wd, bd, wp, bp, meta_key, order, block,
+        interpret,
+    )
+    out = (
+        out.reshape(n_blocks, n_streams, block, p)
+        .transpose(1, 0, 2, 3)
+        .reshape(n_streams, n_pad, p)
+    )
+    c = packs["uv"][2]["dims"][-1]
+    f = out[0, :n, :c]
+    d = out[1 : 1 + a, :n, :c]
+    dtt = out[1 + a, :n, :c] if order >= 2 else None
+    return Jet(f=f, d=d, dtt=dtt)
+
+
 def model_fused_jet(model, params, x: jax.Array, order=None,
                     interpret: bool = False) -> Jet:
     """Fused-kernel jet for a field model (plain MLP or hard-BC composite).
 
-    The composite u = P + D·ũ combines three kernel launches by jet algebra
-    (same math as models/fields.py::CompositeFieldModel.jet).  Pass
-    ``interpret=True`` off-TPU.
+    The composite u = P + D·ũ runs as ONE kernel launch
+    (:func:`fused_composite_jet`); a Fourier-embedded uv net falls back to
+    per-net launches + host jet algebra.  Pass ``interpret=True`` off-TPU.
     """
     order = model.spec.jet_order if order is None else order
     kw = dict(order=order, interpret=interpret)
     if model.normalize:
         kw.update(lb=model.lb, ub=model.ub)
     if hasattr(model, "uv_hidden"):  # CompositeFieldModel
-        uv = fused_jet(params["uv"], x, **kw)
+        if not getattr(model, "uv_fourier", 0):
+            return fused_composite_jet(params, x, **kw)
+        uv = model.uv_net.jet(params["uv"], x, order=order)
         dist = fused_jet(params["dist"], x, **kw)
         part = fused_jet(params["part"], x, **kw)
         return part + dist * uv

@@ -49,3 +49,63 @@ def test_pack_params_padding_inert():
     assert float(jnp.abs(ws[0, 3:, :]).max()) == 0.0
     assert float(jnp.abs(ws[1, 30:, :]).max()) == 0.0
     assert float(jnp.abs(ws[1, :, 30:]).max()) == 0.0
+
+
+def test_fused_composite_matches_jet_algebra():
+    """One-launch composite kernel == part + dist*uv by host jet algebra."""
+    from pinn_elastodynamics_tpu.kernels.fused_jet import (
+        fused_composite_jet,
+        model_fused_jet,
+    )
+    from pinn_elastodynamics_tpu.models.fields import (
+        SECOND_ORDER,
+        CompositeFieldModel,
+        FieldSpec,
+    )
+
+    model = CompositeFieldModel(
+        spec=FieldSpec(ndim=2, formulation=SECOND_ORDER),
+        uv_hidden=(70,) * 3,
+        dist_hidden=(20,) * 2,
+        part_hidden=(20,) * 2,
+    )
+    params = model.init(jax.random.PRNGKey(7))
+    n = 300  # not a block multiple
+    x = jax.random.uniform(jax.random.PRNGKey(8), (n, 3), jnp.float32)
+    ref = model.jet(params, x)  # XLA jets + host product rule
+    ker = fused_composite_jet(params, x, order=2, block=128, interpret=True)
+    np.testing.assert_allclose(ker.f, ref.f, atol=3e-6)
+    np.testing.assert_allclose(ker.d, ref.d, atol=3e-6)
+    np.testing.assert_allclose(ker.dtt, ref.dtt, atol=3e-6)
+    # model_fused_jet routes composites through the single launch.
+    via_model = model_fused_jet(model, params, x, interpret=True)
+    np.testing.assert_allclose(via_model.f, ker.f, atol=1e-7)
+
+
+def test_fused_composite_order1_normalized():
+    from pinn_elastodynamics_tpu.kernels.fused_jet import fused_composite_jet
+    from pinn_elastodynamics_tpu.models.fields import (
+        FIRST_ORDER,
+        CompositeFieldModel,
+        FieldSpec,
+    )
+
+    model = CompositeFieldModel(
+        spec=FieldSpec(ndim=2, formulation=FIRST_ORDER),
+        uv_hidden=(40,) * 2,
+        dist_hidden=(16,) * 2,
+        part_hidden=(16,) * 2,
+        normalize=True,
+        lb=(0.0, 0.0, 0.0),
+        ub=(30.0, 30.0, 20.0),
+    )
+    params = model.init(jax.random.PRNGKey(9))
+    x = jax.random.uniform(jax.random.PRNGKey(10), (150, 3), jnp.float32) * 20
+    ref = model.jet(params, x)
+    ker = fused_composite_jet(
+        params, x, order=1, lb=model.lb, ub=model.ub, block=64,
+        interpret=True,
+    )
+    np.testing.assert_allclose(ker.f, ref.f, atol=3e-6)
+    np.testing.assert_allclose(ker.d, ref.d, atol=3e-6)
+    assert ker.dtt is None
