@@ -21,7 +21,7 @@ padding is numerically inert.
 from __future__ import annotations
 
 from functools import partial
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -361,6 +361,88 @@ def fused_composite_jet(
     d = out[1 : 1 + a, :n, :c]
     dtt = out[1 + a, :n, :c] if order >= 2 else None
     return Jet(f=f, d=d, dtt=dtt)
+
+
+def _pack_seed(h0, d, dtt, block):
+    """Pad + interleave a precomputed seed jet into kernel stream blocks.
+
+    h0: (N, E) value rows; d: (A, N, E) tangent rows; dtt: (N, E) or None.
+    Returns (interleaved, n, n_pad, n_blocks, block, e, p, n_streams).
+    """
+    n, e = h0.shape
+    a = d.shape[0]
+    n_streams = 1 + a + (1 if dtt is not None else 0)
+    p = _round_up(e, LANE)
+    n_pad = _round_up(max(n, block), block)
+
+    def pad_n(arr):
+        arr = jnp.asarray(arr, jnp.float32)
+        return jnp.pad(arr, ((0, n_pad - n), (0, p - arr.shape[1])))
+
+    streams = [pad_n(h0)] + [pad_n(d[i]) for i in range(a)]
+    if dtt is not None:
+        streams.append(pad_n(dtt))
+    stacked = jnp.stack(streams, axis=0)
+    n_blocks = n_pad // block
+    interleaved = (
+        stacked.reshape(n_streams, n_blocks, block, p)
+        .transpose(1, 0, 2, 3)
+        .reshape(n_blocks, n_streams * block, p)
+    )
+    return interleaved, n, n_pad, n_blocks, p, n_streams
+
+
+def fused_seed_jet(
+    params: Params,
+    h0: jax.Array,
+    d: jax.Array,
+    dtt: Optional[jax.Array] = None,
+    *,
+    block: int = 512,
+    interpret: bool = False,
+) -> Jet:
+    """Fused jet seeded by a PRECOMPUTED input jet (embedding output).
+
+    Same kernel as :func:`fused_jet`, but the seed streams are supplied by
+    the caller instead of being the identity jet of raw coordinates — the
+    entry point for embedded nets (Fourier features, models/fourier.py)
+    whose input jet is analytic.  ``h0`` (N, E) value rows, ``d`` (A, N, E)
+    tangent rows, ``dtt`` optional (N, E) second-time rows; E must not
+    exceed the padded width of the first MLP layer.
+    """
+    ws, bs, meta = pack_params(params)
+    order = 2 if dtt is not None else 1
+    a = d.shape[0]
+    p = meta["padded"]
+    if _round_up(h0.shape[1], LANE) > p:
+        raise ValueError(
+            f"seed width {h0.shape[1]} exceeds padded layer width {p}")
+    n_streams = 1 + a + (1 if dtt is not None else 0)
+    vmem_budget = 10 * 1024 * 1024
+    per_point = 6 * n_streams * p * 4
+    block = min(block, max(32, (vmem_budget // per_point) // 32 * 32))
+    # Repad seed streams to the MLP's padded width via _pack_seed on p-wide
+    # zero-extended inputs.
+    pad_e = lambda arr: jnp.pad(
+        jnp.asarray(arr, jnp.float32),
+        [(0, 0)] * (arr.ndim - 1) + [(0, p - arr.shape[-1])])
+    interleaved, n, n_pad, n_blocks, p2, _ = _pack_seed(
+        pad_e(h0), pad_e(d), None if dtt is None else pad_e(dtt), block)
+    assert p2 == p
+    meta_key = (meta["n_layers"], p, n_streams)
+    out = _fused_jet_padded(
+        interleaved, ws, bs, meta_key, order, block, interpret,
+    )
+    out = (
+        out.reshape(n_blocks, n_streams, block, p)
+        .transpose(1, 0, 2, 3)
+        .reshape(n_streams, n_pad, p)
+    )
+    c = meta["dims"][-1]
+    f = out[0, :n, :c]
+    dj = out[1 : 1 + a, :n, :c]
+    djtt = out[1 + a, :n, :c] if dtt is not None else None
+    return Jet(f=f, d=dj, dtt=djtt)
 
 
 def model_fused_jet(model, params, x: jax.Array, order=None,

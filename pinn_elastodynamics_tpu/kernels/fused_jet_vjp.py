@@ -43,7 +43,7 @@ from .fused_jet import LANE, _round_up, fused_jet, pack_params
 
 def _bwd_kernel(x_ref, cot_ref, w_ref, b_ref, dw_ref, db_ref, dx_ref,
                 s_scratch, *, n_layers: int, n_streams: int, block: int,
-                order: int):
+                order: int, full_dx: bool = False):
     """One point-block backward: remat forward into VMEM, reverse sweep.
 
     x_ref:   (1, S*B, P) interleaved input streams.
@@ -138,7 +138,10 @@ def _bwd_kernel(x_ref, cot_ref, w_ref, b_ref, dw_ref, db_ref, dx_ref,
         c = jnp.dot(c_stack, w_ref[l].T, preferred_element_type=jnp.float32,
                     precision=jax.lax.Precision.HIGHEST)
 
-    dx_ref[0] = c[0:block, :]
+    # Seed cotangent: full stream stack (embedded nets differentiate their
+    # input jet through the embedding) or just the value stream (raw
+    # coordinates: tangent seeds are constants).
+    dx_ref[0] = c if full_dx else c[0:block, :]
 
 
 @partial(jax.jit,
@@ -302,3 +305,145 @@ def _bwd(order, block, interpret, lb, ub, res, cot: Jet):
 
 
 fused_jet_vjp.defvjp(_fwd, _bwd)
+
+
+# ---------------------------------------------------------------------------
+# Seed-jet custom_vjp (embedded nets, e.g. Fourier features)
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit,
+         static_argnames=("meta_key", "order", "block", "interpret"))
+def _fused_seed_bwd_padded(x_blocks, cot_blocks, ws, bs, meta_key, order,
+                           block, interpret):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n_layers, p, n_streams = meta_key
+    rows = n_streams * block
+    n_blocks = x_blocks.shape[0]
+    z = lambda: jnp.asarray(0, jnp.int32)
+    dw, db, dseed = pl.pallas_call(
+        partial(_bwd_kernel, n_layers=n_layers, n_streams=n_streams,
+                block=block, order=order, full_dx=True),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_layers, p, p), jnp.float32),
+            jax.ShapeDtypeStruct((n_layers, p), jnp.float32),
+            jax.ShapeDtypeStruct((n_blocks, rows, p), jnp.float32),
+        ),
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((1, rows, p), lambda i: (i, z(), z()),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rows, p), lambda i: (i, z(), z()),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_layers, p, p), lambda i: (z(), z(), z()),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_layers, p), lambda i: (z(), z()),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((n_layers, p, p), lambda i: (z(), z(), z()),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_layers, p), lambda i: (z(), z()),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rows, p), lambda i: (i, z(), z()),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((n_layers, rows, p), jnp.float32),
+        ],
+        interpret=interpret,
+    )(x_blocks, cot_blocks, ws, bs)
+    return dw, db, dseed
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def fused_seed_jet_vjp(params, h0, d, dtt, block=512,
+                       interpret=False) -> Jet:
+    """Differentiable fused jet over a PRECOMPUTED seed jet.
+
+    Entry point for embedded nets (Fourier features): the caller computes
+    the embedding's analytic jet (h0 values, d tangents, optional dtt) in
+    XLA — differentiable w.r.t. the embedding's own params — and this runs
+    the MLP tail through the Pallas forward/backward kernels.  Gradients
+    flow to the MLP params AND back through the seed streams.
+    """
+    from .fused_jet import fused_seed_jet
+
+    return fused_seed_jet(params, h0, d, dtt, block=block,
+                          interpret=interpret)
+
+
+def _seed_fwd(params, h0, d, dtt, block, interpret):
+    from .fused_jet import fused_seed_jet
+
+    jet = fused_seed_jet(params, h0, d, dtt, block=block,
+                         interpret=interpret)
+    return jet, (params, h0, d, dtt)
+
+
+def _seed_bwd(block, interpret, res, cot: Jet):
+    params, h0, d, dtt = res
+    order = 2 if dtt is not None else 1
+    ws, bs, meta = pack_params(params)
+    n, e = h0.shape
+    a = d.shape[0]
+    p = meta["padded"]
+    n_streams = 1 + a + (1 if order >= 2 else 0)
+    # Same conservative VMEM budget as _bwd (the scratch dominates).
+    vmem_budget = 4 * 1024 * 1024
+    per_point = (meta["n_layers"] + 1) * n_streams * p * 4
+    cap = max(32, (vmem_budget // per_point // 2) // 32 * 32)
+    block = min(block, cap)
+    n_pad = _round_up(max(n, block), block)
+    n_blocks = n_pad // block
+    c_out = meta["dims"][-1]
+
+    def pad_seed(arr):
+        arr = jnp.asarray(arr, jnp.float32)
+        return jnp.pad(arr, ((0, n_pad - n), (0, p - arr.shape[1])))
+
+    in_streams = [pad_seed(h0)] + [pad_seed(d[i]) for i in range(a)]
+    if order >= 2:
+        in_streams.append(pad_seed(dtt))
+    x_blocks = _interleave(in_streams, n_streams, n_blocks, block, p)
+
+    zero = jnp.zeros((n, c_out), jnp.float32)
+    cf = cot.f if cot.f is not None else zero
+    cot_streams = [pad_seed(cf)]
+    for i in range(a):
+        ci = cot.d[i] if cot.d is not None else zero
+        cot_streams.append(pad_seed(ci))
+    if order >= 2:
+        ctt = cot.dtt if cot.dtt is not None else zero
+        cot_streams.append(pad_seed(ctt))
+    cot_blocks = _interleave(cot_streams, n_streams, n_blocks, block, p)
+
+    meta_key = (meta["n_layers"], p, n_streams)
+    dw, db, dseed_blocks = _fused_seed_bwd_padded(
+        x_blocks, cot_blocks, ws, bs, meta_key, order, block, interpret
+    )
+
+    dims = meta["dims"]
+    dparams = []
+    for i in range(meta["n_layers"]):
+        fan_in, fan_out = dims[i], dims[i + 1]
+        dparams.append({
+            "W": dw[i, :fan_in, :fan_out].astype(params[i]["W"].dtype),
+            "b": db[i, :fan_out].astype(params[i]["b"].dtype),
+        })
+
+    # De-interleave the full seed-cotangent stack.
+    dseed = (
+        dseed_blocks.reshape(n_blocks, n_streams, block, p)
+        .transpose(1, 0, 2, 3)
+        .reshape(n_streams, n_pad, p)
+    )
+    dh0 = dseed[0, :n, :e].astype(h0.dtype)
+    dd = dseed[1 : 1 + a, :n, :e].astype(d.dtype)
+    ddtt = (dseed[1 + a, :n, :e].astype(dtt.dtype)
+            if order >= 2 else None)
+    return dparams, dh0, dd, ddtt
+
+
+fused_seed_jet_vjp.defvjp(_seed_fwd, _seed_bwd)

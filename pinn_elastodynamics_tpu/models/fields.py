@@ -199,6 +199,7 @@ class CompositeFieldModel:
                 feature_scale=self.uv_fourier_scale,
                 normalize=self.normalize, lb=self.lb, ub=self.ub,
                 precision=self.precision,
+                jet_impl=self.jet_impl,
             )
         return self._sub(self.uv_hidden, jet_impl=self.jet_impl)
 

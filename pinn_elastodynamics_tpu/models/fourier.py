@@ -41,6 +41,12 @@ class FourierMLPFieldModel:
     lb: Optional[Tuple[float, ...]] = None
     ub: Optional[Tuple[float, ...]] = None
     precision: Optional[str] = None
+    # "xla" | "pallas" | "auto": with "pallas" the embedding's analytic jet
+    # stays in XLA (tiny: one (N,A)@(A,F) matmul + sin/cos) and the MLP tail
+    # runs through the fused seed-jet Pallas kernels
+    # (kernels/fused_jet_vjp.py::fused_seed_jet_vjp) — same 3x+ value+grad
+    # win as plain nets, fully differentiable incl. the B matrix.
+    jet_impl: str = "xla"
 
     @property
     def layers(self) -> Tuple[int, ...]:
@@ -70,8 +76,8 @@ class FourierMLPFieldModel:
         h = self._embed(params, xyt)
         return mlp_mod.mlp_apply(params["mlp"], h, precision=self.precision)
 
-    def jet(self, params, xyt: jax.Array, order: Optional[int] = None) -> Jet:
-        order = self.spec.jet_order if order is None else order
+    def _embed_jet(self, params, xyt, order):
+        """Analytic jet of the embedding: (h, d, dtt) as in the module doc."""
         n, a = xyt.shape
         dtype = xyt.dtype
         xn, scale = self._normalized(xyt)
@@ -91,7 +97,23 @@ class FourierMLPFieldModel:
         if order >= 2:
             zt2 = dz[-1][None, :] ** 2          # (1, F)
             dtt = jnp.concatenate([-sin * zt2, -cos * zt2], axis=1)
+        return h, d, dtt
 
+    def jet(self, params, xyt: jax.Array, order: Optional[int] = None) -> Jet:
+        order = self.spec.jet_order if order is None else order
+        h, d, dtt = self._embed_jet(params, xyt, order)
+        from .fields import _TPU_PLATFORMS, _execution_platform
+
+        impl = self.jet_impl
+        if impl == "auto":
+            impl = ("pallas" if _execution_platform() in _TPU_PLATFORMS
+                    else "xla")
+        if impl == "pallas":
+            from ..kernels.fused_jet_vjp import fused_seed_jet_vjp
+
+            interpret = _execution_platform() not in _TPU_PLATFORMS
+            return fused_seed_jet_vjp(params["mlp"], h, d, dtt, 512,
+                                      interpret)
         # Continue through the MLP with the generic jet propagation.
         return _mlp_jet_from_embedding(
             params["mlp"], h, d, dtt, precision=self.precision

@@ -68,3 +68,52 @@ def test_vjp_forward_value_matches():
     b = mlp_jet(params, x, order=1)
     np.testing.assert_allclose(a.f, b.f, atol=2e-6)
     np.testing.assert_allclose(a.d, b.d, atol=2e-6)
+
+
+@pytest.mark.parametrize("order", [1, 2])
+def test_seed_vjp_fourier_matches_xla(order):
+    """Fourier net: Pallas seed-jet path == XLA path, value AND grads
+    (incl. through the embedding to B)."""
+    from pinn_elastodynamics_tpu.models.fields import SECOND_ORDER, FieldSpec
+    from pinn_elastodynamics_tpu.models.fourier import FourierMLPFieldModel
+
+    spec = FieldSpec(ndim=2, formulation=SECOND_ORDER)
+    kw = dict(
+        spec=spec, hidden=(40, 40), n_features=16, feature_scale=1.3,
+        normalize=True, lb=(0.0, 0.0, 0.0), ub=(2.0, 2.0, 3.0),
+    )
+    m_xla = FourierMLPFieldModel(**kw, jet_impl="xla")
+    m_pal = FourierMLPFieldModel(**kw, jet_impl="pallas")
+    params = m_xla.init(jax.random.PRNGKey(3))
+    x = jax.random.uniform(jax.random.PRNGKey(4), (200, 3), jnp.float32) * 2
+
+    key = jax.random.PRNGKey(11)
+    c = spec.n_outputs
+    wf = jax.random.normal(key, (200, c), jnp.float32)
+    wd = jax.random.normal(key, (3, 200, c), jnp.float32)
+    wtt = jax.random.normal(key, (200, c), jnp.float32)
+
+    def weighted(jet):
+        l = jnp.sum(wf * jet.f) + jnp.sum(wd * jet.d)
+        if order >= 2:
+            l = l + jnp.sum(wtt * jet.dtt)
+        return l
+
+    jr = m_xla.jet(params, x, order=order)
+    jk = m_pal.jet(params, x, order=order)
+    np.testing.assert_allclose(jk.f, jr.f, atol=3e-6)
+    np.testing.assert_allclose(jk.d, jr.d, atol=3e-5)
+    if order >= 2:
+        np.testing.assert_allclose(jk.dtt, jr.dtt, atol=2e-4)
+
+    vr, gr = jax.value_and_grad(
+        lambda p: weighted(m_xla.jet(p, x, order=order)))(params)
+    vk, gk = jax.value_and_grad(
+        lambda p: weighted(m_pal.jet(p, x, order=order)))(params)
+    assert float(abs(vr - vk)) < 1e-3 * max(1.0, abs(float(vr)))
+    scale = max(float(jnp.abs(l["W"]).max()) for l in gr["mlp"])
+    scale = max(scale, float(jnp.abs(gr["B"]).max()))
+    np.testing.assert_allclose(gk["B"], gr["B"], atol=3e-4 * max(1, scale))
+    for a, b in zip(gk["mlp"], gr["mlp"]):
+        np.testing.assert_allclose(a["W"], b["W"], atol=3e-4 * max(1, scale))
+        np.testing.assert_allclose(a["b"], b["b"], atol=3e-4 * max(1, scale))
