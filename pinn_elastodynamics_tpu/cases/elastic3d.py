@@ -231,6 +231,7 @@ def build_mms(
         hidden=(64,) * 5,
         normalize=True, lb=lb, ub=ub,
         precision="highest",
+        jet_impl="auto",
     )
     return Case(
         name="elastic3d_mms",

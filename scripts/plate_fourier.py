@@ -59,35 +59,50 @@ def main():
         scale=1.0, pad_to_multiple_of=8, fourier=args.features,
         fourier_scale=args.feature_scale,
     )
-    params = case.init_params(seed=args.seed)
+    # Crash-resume: the chip faults sporadically under sustained load; an
+    # outer shell loop relaunches us and we continue from our best
+    # checkpoint (pretrain + Adam are skipped on resume).
+    best_path = os.path.join(args.out, "best.ckpt")
+    resume = os.path.exists(best_path)
+    if resume:
+        from pinn_elastodynamics_tpu.train.checkpoint import load_checkpoint
+
+        state = load_checkpoint(best_path)
+        params = state["params"]
+        log({"event": "resume", "loss": float(state.get("loss", np.nan)),
+             "iters": int(state.get("iters", 0))})
+    else:
+        params = case.init_params(seed=args.seed)
     log({"event": "start", "features": args.features,
          "feature_scale": args.feature_scale, "minutes": args.minutes})
 
-    # dist/part pretrain (reference's 1000x-scaled phases).
-    params, results = run_pipeline(
-        case, params,
-        maxiter_override={"dist": args.pretrain_iters,
-                          "part": args.pretrain_iters, "uv": 0},
-        segment=50, log_every=500,
-    )
-    log({"event": "pretrain_done",
-         **{k: float(v.final_loss) for k, v in results.items() if k != "uv"}})
+    if not resume:
+        # dist/part pretrain (reference's 1000x-scaled phases).
+        params, results = run_pipeline(
+            case, params,
+            maxiter_override={"dist": args.pretrain_iters,
+                              "part": args.pretrain_iters, "uv": 0},
+            segment=50, log_every=500,
+        )
+        log({"event": "pretrain_done",
+             **{k: float(v.final_loss) for k, v in results.items()
+                if k != "uv"}})
 
     phase = case.phases[-1]
     sub_fn, sub, merge = _phase_loss_fn(case, phase, params)
-    if args.adam:
+    if args.adam and not resume:
         r = run_adam(lambda p: (sub_fn(p), {}), sub, 1e-3, iters=args.adam,
                      segment=200)
         sub = r.params
         log({"event": "adam_done", "loss": float(r.history["loss"][-1])})
 
-    best = float("inf")
+    best = float(state.get("loss", np.inf)) if resume else float("inf")
     carry = None
     # Short first segments: a cold zoom storm in one long while_loop
     # execution trips the device watchdog.
     res = minimize(sub_fn, sub, maxiter=100, segment=10, patience=100)
     sub, carry = res.params, res.carry
-    total = res.n_iters
+    total = (int(state.get("iters", 0)) if resume else 0) + res.n_iters
     log({"event": "warmup", "loss": float(res.final_loss)})
     while time.time() < t_end:
         res = minimize(sub_fn, sub, maxiter=args.block, segment=50,
