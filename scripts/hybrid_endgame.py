@@ -48,6 +48,10 @@ def main():
                          "engine is stale")
     ap.add_argument("--host-block", type=int, default=400)
     ap.add_argument("--host-blocks", type=int, default=2)
+    ap.add_argument("--host-first", action="store_true",
+                    help="start with host-f64 drills (cases already wedged "
+                         "for the f32 engine: cold f32 warmups at low loss "
+                         "burn tens of minutes for ~0 drop)")
     ap.add_argument("--metrics", default=None)
     args = ap.parse_args()
 
@@ -127,60 +131,83 @@ def main():
     x = x0.copy()
     host_carry = None
     total_f32 = total_host = 0
+    first_round = True
+    # Per-segment fault insurance inside f32 sprints: a kill/fault mid-block
+    # must not cost more than ~30 s of progress (the confined run lost a full
+    # 50-min budget to a mid-block timeout).
+    last_seg_save = [time.time()]
+
+    def seg_ckpt(k_total, seg_params, hist):
+        now = time.time()
+        if now - last_seg_save[0] < 30.0:
+            return
+        last_seg_save[0] = now
+        x_seg = np.asarray(ravel_pytree(seg_params)[0], np.float64)
+        save_checkpoint(args.ckpt_out, {
+            "params": merge(params, seg_params),
+            "loss": float(hist[-1]) if len(hist) else float("nan"),
+            "x64_flat": x_seg, "note": "segment",
+        })
+
     while time.time() < t_end and f_best > args.target:
-        # ---- f32 sprint ----
-        sub = unravel32(jnp.asarray(np.asarray(x, np.float32)))
-        carry = None
-        stale = 0
-        sprint_iters = 0
-        # Cold L-BFGS at low loss burns ~100 zoom evals/iteration; a 50-iter
-        # segment is then a multi-minute monolithic device execution and
-        # trips the TPU watchdog (observed: "TPU worker crashed").  Warm up
-        # with short segments, then stretch once the carry steps at ~1
-        # eval/iteration.
-        try:
-            res = minimize(sub_fn, sub, maxiter=100, segment=10,
-                           init_carry=None, patience=100, target=args.target)
-            sub, carry = res.params, res.carry
-            sprint_iters += res.n_iters
-            log({"event": "f32_warmup", "iters": sprint_iters,
-                 "loss_f32": float(res.final_loss)})
-            while time.time() < t_end:
-                res = minimize(sub_fn, sub, maxiter=args.f32_block,
-                               segment=50, init_carry=carry, patience=100,
-                               target=args.target)
+        skip_sprint = args.host_first and first_round
+        first_round = False
+        if not skip_sprint:
+            # ---- f32 sprint ----
+            sub = unravel32(jnp.asarray(np.asarray(x, np.float32)))
+            carry = None
+            stale = 0
+            sprint_iters = 0
+            # Cold L-BFGS at low loss burns ~100 zoom evals/iteration; a
+            # 50-iter segment is then a multi-minute monolithic device
+            # execution and trips the TPU watchdog (observed: "TPU worker
+            # crashed").  Warm up with short segments, then stretch once the
+            # carry steps at ~1 eval/iteration.
+            try:
+                res = minimize(sub_fn, sub, maxiter=100, segment=10,
+                               init_carry=None, patience=100,
+                               target=args.target, on_segment=seg_ckpt)
                 sub, carry = res.params, res.carry
                 sprint_iters += res.n_iters
-                h = res.loss_history
-                rel = ((float(h[0]) - float(res.final_loss))
-                       / max(abs(float(h[0])), 1e-30)) if len(h) > 1 else 0.0
-                log({"event": "f32_block", "iters": sprint_iters,
-                     "loss_f32": float(res.final_loss), "rel_drop": rel})
-                # Fault insurance: persist every block (a mid-sprint chip
-                # crash must not cost the sprint).
-                x_blk = np.asarray(ravel_pytree(sub)[0], np.float64)
-                save_checkpoint(args.ckpt_out, {
-                    "params": merge(params, sub),
-                    "loss": float(res.final_loss), "x64_flat": x_blk,
-                    "note": f"sprint_{total_f32 + sprint_iters}",
-                })
-                if float(res.final_loss) <= args.target:
-                    break
-                stale = stale + 1 if rel < args.f32_stale_rel else 0
-                if stale >= 2 or res.n_iters < args.f32_block:
-                    break
-            total_f32 += sprint_iters
-            x = np.asarray(ravel_pytree(sub)[0], np.float64)
-            consider(x, f"f32_sprint_{total_f32}")
-        except Exception as e:
-            # Device fault: the JAX client is dead for this process.  The
-            # block checkpoints above preserved progress; exit and let the
-            # outer loop relaunch with a fresh client.
-            log({"event": "f32_fault", "error": repr(e)[:200]})
-            mfile.close()
-            sys.exit(3)
-        if f_best <= args.target or time.time() >= t_end:
-            break
+                log({"event": "f32_warmup", "iters": sprint_iters,
+                     "loss_f32": float(res.final_loss)})
+                while time.time() < t_end:
+                    res = minimize(sub_fn, sub, maxiter=args.f32_block,
+                                   segment=50, init_carry=carry,
+                                   patience=100, target=args.target,
+                                   on_segment=seg_ckpt)
+                    sub, carry = res.params, res.carry
+                    sprint_iters += res.n_iters
+                    h = res.loss_history
+                    rel = ((float(h[0]) - float(res.final_loss))
+                           / max(abs(float(h[0])), 1e-30)) if len(h) > 1 else 0.0
+                    log({"event": "f32_block", "iters": sprint_iters,
+                         "loss_f32": float(res.final_loss), "rel_drop": rel})
+                    # Fault insurance: persist every block (a mid-sprint chip
+                    # crash must not cost the sprint).
+                    x_blk = np.asarray(ravel_pytree(sub)[0], np.float64)
+                    save_checkpoint(args.ckpt_out, {
+                        "params": merge(params, sub),
+                        "loss": float(res.final_loss), "x64_flat": x_blk,
+                        "note": f"sprint_{total_f32 + sprint_iters}",
+                    })
+                    if float(res.final_loss) <= args.target:
+                        break
+                    stale = stale + 1 if rel < args.f32_stale_rel else 0
+                    if stale >= 2 or res.n_iters < args.f32_block:
+                        break
+                total_f32 += sprint_iters
+                x = np.asarray(ravel_pytree(sub)[0], np.float64)
+                consider(x, f"f32_sprint_{total_f32}")
+            except Exception as e:
+                # Device fault: the JAX client is dead for this process.  The
+                # block checkpoints above preserved progress; exit and let
+                # the outer loop relaunch with a fresh client.
+                log({"event": "f32_fault", "error": repr(e)[:200]})
+                mfile.close()
+                sys.exit(3)
+            if f_best <= args.target or time.time() >= t_end:
+                break
 
         # ---- host-f64 drill ----
         x = x_best.copy()
