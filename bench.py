@@ -157,6 +157,75 @@ def _seconds_to_target(scale, threshold, maxiter, *, seed=0, window=30,
     return out
 
 
+def _uv_phase_rate(case, params, n_col, iters=10):
+    """Production hot-op rate: uv-phase value+grad with dist/part frozen.
+
+    This is the evaluation L-BFGS actually performs in the reference's main
+    phase (only uv trains, train.py:220-250) and in ours: frozen dist/part
+    jets over fixed banks constant-fold at trace time, so the per-eval work
+    is the uv jet + loss tail only.
+    """
+    from pinn_elastodynamics_tpu.cases.base import _phase_loss_fn
+
+    phase = case.phases[-1]
+    sub_fn, sub0, _ = _phase_loss_fn(case, phase, params)
+    vg = jax.jit(jax.value_and_grad(sub_fn))
+    jax.block_until_ready(vg(sub0))
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            jax.block_until_ready(vg(sub0))
+        best = min(best, (time.perf_counter() - t0) / iters)
+    return n_col / best
+
+
+def _composite_forward_rate(case, params, iters=20, n=131072):
+    """Serving/rendering rate: ONE-launch composite jet (order-2, all
+    fields + first derivatives + dtt) vs the three-launch path it replaced.
+
+    Returns (one_launch_evals_per_sec, speedup_vs_three_launch).
+    """
+    import jax.numpy as jnp
+
+    from pinn_elastodynamics_tpu.kernels.fused_jet import (
+        fused_composite_jet,
+        fused_jet,
+    )
+
+    model = case.model
+    kw = {}
+    if model.normalize:
+        kw = dict(lb=model.lb, ub=model.ub)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (n, 3), jnp.float32) * 0.5
+
+    one = jax.jit(lambda p, xx: fused_composite_jet(
+        p, xx, order=2, **kw).f)
+
+    def three_fn(p, xx):
+        uv = fused_jet(p["uv"], xx, order=2, **kw)
+        d = fused_jet(p["dist"], xx, order=2, **kw)
+        pj = fused_jet(p["part"], xx, order=2, **kw)
+        return (pj + d * uv).f
+
+    three = jax.jit(three_fn)
+
+    def _time(fn):
+        fn(params, x).block_until_ready()
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                r = fn(params, x)
+            r.block_until_ready()
+            best = min(best, (time.perf_counter() - t0) / iters)
+        return best
+
+    t_one = _time(one)
+    t_three = _time(three)
+    return n / t_one, t_three / t_one
+
+
 def _lbfgs_iter_rate(case, params, iters):
     """L-BFGS per-iteration wall in BOTH regimes (compile excluded).
 
@@ -211,6 +280,16 @@ def main():
     rate, step_s = _rate_blocked(
         scalar_loss, params, banks, n_col, args.blocked_iters
     )
+    uv_rate = None
+    try:
+        uv_rate = _uv_phase_rate(case, params, n_col)
+    except Exception:
+        pass
+    comp_rate = comp_speedup = None
+    try:
+        comp_rate, comp_speedup = _composite_forward_rate(case, params)
+    except Exception:
+        pass
 
     lbfgs_rate = None
     lbfgs_iters = None
@@ -262,6 +341,13 @@ def main():
         "device": str(dev),
         "n_collocation": n_col,
         "step_seconds": round(step_s, 6),
+        "uv_phase_evals_per_sec": round(uv_rate, 1) if uv_rate else None,
+        "composite_fwd_evals_per_sec": (
+            round(comp_rate, 1) if comp_rate else None
+        ),
+        "composite_fused_speedup": (
+            round(comp_speedup, 2) if comp_speedup else None
+        ),
         "lbfgs_iters_per_sec": round(lbfgs_rate, 2) if lbfgs_rate else None,
         "lbfgs_iters_per_sec_cold": (
             round(lbfgs_cold, 2) if lbfgs_cold else None
