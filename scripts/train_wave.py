@@ -54,6 +54,10 @@ def main():
     ap.add_argument("--log-every", type=int, default=250)
     ap.add_argument("--eval-frames", type=int, nargs="*", default=None)
     ap.add_argument("--warm-start", default=None)
+    ap.add_argument("--fourier", type=int, default=0,
+                    help="random-Fourier-feature count on the uv net "
+                         "(builder knob; 0 = plain MLP)")
+    ap.add_argument("--fourier-scale", type=float, default=1.0)
     args = ap.parse_args()
 
     import importlib
@@ -84,6 +88,9 @@ def main():
         scale=args.scale, seed=args.seed,
         pad_to_multiple_of=len(jax.devices()),
     )
+    if args.fourier:
+        builder_kwargs.update(fourier=args.fourier,
+                              fourier_scale=args.fourier_scale)
     params, summaries = run_time_curriculum(
         mod.build, stages, params=params, seed=args.seed,
         checkpoint_dir=args.out, resume=True, log_every=args.log_every,
