@@ -71,6 +71,66 @@ def test_vjp_forward_value_matches():
 
 
 @pytest.mark.parametrize("order", [1, 2])
+def test_composite_vjp_matches_autodiff(order):
+    """One-launch composite custom-VJP == autodiff through the XLA jets
+    (grads to all three nets' params and to x)."""
+    from pinn_elastodynamics_tpu.kernels.fused_jet_vjp import (
+        fused_composite_jet_vjp,
+    )
+    from pinn_elastodynamics_tpu.models.fields import (
+        FIRST_ORDER,
+        SECOND_ORDER,
+        CompositeFieldModel,
+        FieldSpec,
+    )
+
+    form = SECOND_ORDER if order >= 2 else FIRST_ORDER
+    model = CompositeFieldModel(
+        spec=FieldSpec(ndim=2, formulation=form),
+        uv_hidden=(40,) * 2,
+        dist_hidden=(16,) * 2,
+        part_hidden=(16,) * 2,
+        normalize=True,
+        lb=(0.0, 0.0, 0.0),
+        ub=(2.0, 2.0, 3.0),
+    )
+    params = model.init(jax.random.PRNGKey(12))
+    n, c = 200, model.spec.n_outputs
+    x = jax.random.uniform(jax.random.PRNGKey(13), (n, 3), jnp.float32) * 2
+
+    key = jax.random.PRNGKey(14)
+    wf = jax.random.normal(key, (n, c), jnp.float32)
+    wd = jax.random.normal(key, (3, n, c), jnp.float32)
+    wtt = jax.random.normal(key, (n, c), jnp.float32)
+
+    def weighted(jet):
+        l = jnp.sum(wf * jet.f) + jnp.sum(wd * jet.d)
+        if order >= 2:
+            l = l + jnp.sum(wtt * jet.dtt)
+        return l
+
+    def l_ref(p, xx):
+        return weighted(model.jet(p, xx, order=order))
+
+    def l_ker(p, xx):
+        return weighted(fused_composite_jet_vjp(
+            p, xx, order, 64, True, model.lb, model.ub))
+
+    vr, (gr, gxr) = jax.value_and_grad(l_ref, argnums=(0, 1))(params, x)
+    vk, (gk, gxk) = jax.value_and_grad(l_ker, argnums=(0, 1))(params, x)
+    assert float(abs(vr - vk)) < 1e-3 * max(1.0, abs(float(vr)))
+    scale = max(
+        float(jnp.abs(l["W"]).max()) for net in gr.values() for l in net)
+    for k in ("uv", "dist", "part"):
+        for a, b in zip(gk[k], gr[k]):
+            np.testing.assert_allclose(
+                a["W"], b["W"], atol=3e-4 * max(1, scale), err_msg=k)
+            np.testing.assert_allclose(
+                a["b"], b["b"], atol=3e-4 * max(1, scale), err_msg=k)
+    np.testing.assert_allclose(gxk, gxr, atol=3e-4 * max(1, scale))
+
+
+@pytest.mark.parametrize("order", [1, 2])
 def test_seed_vjp_fourier_matches_xla(order):
     """Fourier net: Pallas seed-jet path == XLA path, value AND grads
     (incl. through the embedding to B)."""
