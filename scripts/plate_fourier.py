@@ -97,13 +97,19 @@ def main():
         log({"event": "adam_done", "loss": float(r.history["loss"][-1])})
 
     best = float(state.get("loss", np.inf)) if resume else float("inf")
-    carry = None
-    # Short first segments: a cold zoom storm in one long while_loop
-    # execution trips the device watchdog.
-    res = minimize(sub_fn, sub, maxiter=100, segment=10, patience=100)
-    sub, carry = res.params, res.carry
-    total = (int(state.get("iters", 0)) if resume else 0) + res.n_iters
-    log({"event": "warmup", "loss": float(res.final_loss)})
+    # Resume the curvature carry when the checkpoint holds one (cold L-BFGS
+    # restarts at low loss wedge — CLAUDE.md); else warm up with short
+    # segments (a cold zoom storm in one long while_loop execution trips
+    # the device watchdog).
+    carry = state.get("carry") if resume else None
+    if carry is None:
+        res = minimize(sub_fn, sub, maxiter=100, segment=10, patience=100)
+        sub, carry = res.params, res.carry
+        total = (int(state.get("iters", 0)) if resume else 0) + res.n_iters
+        log({"event": "warmup", "loss": float(res.final_loss)})
+    else:
+        total = int(state.get("iters", 0))
+        log({"event": "carry_resume", "iters": total})
     while time.time() < t_end:
         res = minimize(sub_fn, sub, maxiter=args.block, segment=50,
                        init_carry=carry, patience=100)
@@ -115,7 +121,7 @@ def main():
             best = f_now
             save_checkpoint(os.path.join(args.out, "best.ckpt"),
                             {"params": merge(params, sub), "loss": best,
-                             "iters": total})
+                             "iters": total, "carry": carry})
         if res.n_iters < args.block:
             break
 
