@@ -110,9 +110,27 @@ def main():
     else:
         total = int(state.get("iters", 0))
         log({"event": "carry_resume", "iters": total})
+    # Per-segment fault insurance (hybrid_endgame.py pattern): the chip
+    # faults sporadically under sustained load, and a cold carry at
+    # moderate loss runs zoom storms — a 50-iter segment then becomes a
+    # multi-minute device execution that trips the TPU watchdog.  Short
+    # segments + >=30s checkpoint cadence mean a fault costs <1 min and
+    # the relaunch resumes the carried optimizer (no cold restart).
+    last_save = [time.time()]
+
+    def seg_ckpt(k, seg_params, hist, *, carry=None):
+        now = time.time()
+        if now - last_save[0] < 30.0 or carry is None:
+            return
+        last_save[0] = now
+        save_checkpoint(os.path.join(args.out, "best.ckpt"),
+                        {"params": merge(params, seg_params),
+                         "loss": float(hist[-1]) if len(hist) else best,
+                         "iters": total + int(k), "carry": carry})
+
     while time.time() < t_end:
-        res = minimize(sub_fn, sub, maxiter=args.block, segment=50,
-                       init_carry=carry, patience=100)
+        res = minimize(sub_fn, sub, maxiter=args.block, segment=25,
+                       init_carry=carry, patience=100, on_segment=seg_ckpt)
         sub, carry = res.params, res.carry
         total += res.n_iters
         f_now = float(res.final_loss)
@@ -127,6 +145,9 @@ def main():
 
     log({"event": "train_done", "loss": best, "iters": total})
     full = merge(params, sub)
+    save_checkpoint(os.path.join(args.out, "best.ckpt"),
+                    {"params": full, "loss": best, "iters": total,
+                     "carry": carry})
 
     from pinn_elastodynamics_tpu.eval.compare import (
         compare_frames,
