@@ -28,6 +28,12 @@ def main():
     ap.add_argument("ckpt_out")
     ap.add_argument("--hours", type=float, default=1.5)
     ap.add_argument("--target", type=float, default=7.08e-4)
+    ap.add_argument("--case", default="plate_hole",
+                    help="case module name (plate_hole, wave_confined, "
+                         "wave_semi_infinite, wave_infinite)")
+    ap.add_argument("--max-t", type=float, default=None,
+                    help="horizon override for wave cases (final curriculum "
+                         "horizon)")
     ap.add_argument("--chunk", type=int, default=512)
     ap.add_argument("--log-every", type=int, default=50)
     ap.add_argument("--ckpt-every", type=int, default=500)
@@ -36,9 +42,10 @@ def main():
     ap.add_argument("--metrics", default=None)
     args = ap.parse_args()
 
+    import importlib
+
     import jax.numpy as jnp
 
-    from pinn_elastodynamics_tpu.cases import plate_hole
     from pinn_elastodynamics_tpu.train.checkpoint import (
         load_checkpoint,
         save_checkpoint,
@@ -47,6 +54,9 @@ def main():
         make_host_phase_vg,
         minimize_host,
     )
+
+    mod = importlib.import_module(
+        f"pinn_elastodynamics_tpu.cases.{args.case}")
 
     mpath = args.metrics or os.path.join(
         os.path.dirname(args.ckpt_out) or ".", "host_endgame.jsonl")
@@ -58,9 +68,15 @@ def main():
         mfile.flush()
         print(rec, flush=True)
 
-    case = plate_hole.build(scale=1.0, pad_to_multiple_of=8)
+    build_kwargs = dict(scale=1.0, pad_to_multiple_of=8)
+    if args.max_t is not None:
+        build_kwargs["max_t"] = args.max_t
+    case = mod.build(**build_kwargs)
     params = load_checkpoint(args.ckpt_in, jnp.float32)["params"]
     phase = case.phases[-1]
+    from pinn_elastodynamics_tpu.cases.base import _phase_loss_fn
+
+    _, _, merge = _phase_loss_fn(case, phase, params)
     host_vg, x0, unravel32 = make_host_phase_vg(
         case, phase, params, chunk_size=args.chunk
     )
@@ -85,8 +101,7 @@ def main():
 
     def save_best(x, f, k):
         sub32 = unravel32(jnp.asarray(np.asarray(x, np.float32)))
-        full = dict(params)
-        full[phase.trainable] = sub32
+        full = merge(params, sub32)
         save_checkpoint(args.ckpt_out, {
             "params": full, "loss": f, "iters": k,
             "x64_flat": np.asarray(x, np.float64),

@@ -104,6 +104,10 @@ def main():
     state = load_checkpoint(args.ckpt_in)
     if "x64_flat" in state:
         x0 = np.asarray(state["x64_flat"], np.float64)  # resume at full prec
+    # One-shot f32 carry resume: a relaunch (fault/timeout) must not pay the
+    # 20-40 min cold zoom-storm warmup again — the carry saved alongside
+    # x64_flat matches x0, so the first sprint continues where it left off.
+    f32_resume_carry = state.get("f32_carry")
 
     f_best, _ = host_vg(x0)
     x_best = x0.copy()
@@ -137,7 +141,7 @@ def main():
     # 50-min budget to a mid-block timeout).
     last_seg_save = [time.time()]
 
-    def seg_ckpt(k_total, seg_params, hist):
+    def seg_ckpt(k_total, seg_params, hist, *, carry=None):
         now = time.time()
         if now - last_seg_save[0] < 30.0:
             return
@@ -147,6 +151,7 @@ def main():
             "params": merge(params, seg_params),
             "loss": float(hist[-1]) if len(hist) else float("nan"),
             "x64_flat": x_seg, "note": "segment",
+            **({"f32_carry": carry} if carry is not None else {}),
         })
 
     while time.time() < t_end and f_best > args.target:
@@ -155,7 +160,7 @@ def main():
         if not skip_sprint:
             # ---- f32 sprint ----
             sub = unravel32(jnp.asarray(np.asarray(x, np.float32)))
-            carry = None
+            carry, f32_resume_carry = f32_resume_carry, None
             stale = 0
             sprint_iters = 0
             # Cold L-BFGS at low loss burns ~100 zoom evals/iteration; a
@@ -164,13 +169,16 @@ def main():
             # crashed").  Warm up with short segments, then stretch once the
             # carry steps at ~1 eval/iteration.
             try:
-                res = minimize(sub_fn, sub, maxiter=100, segment=10,
-                               init_carry=None, patience=100,
-                               target=args.target, on_segment=seg_ckpt)
-                sub, carry = res.params, res.carry
-                sprint_iters += res.n_iters
-                log({"event": "f32_warmup", "iters": sprint_iters,
-                     "loss_f32": float(res.final_loss)})
+                if carry is None:
+                    res = minimize(sub_fn, sub, maxiter=100, segment=10,
+                                   init_carry=None, patience=100,
+                                   target=args.target, on_segment=seg_ckpt)
+                    sub, carry = res.params, res.carry
+                    sprint_iters += res.n_iters
+                    log({"event": "f32_warmup", "iters": sprint_iters,
+                         "loss_f32": float(res.final_loss)})
+                else:
+                    log({"event": "f32_carry_resume"})
                 while time.time() < t_end:
                     res = minimize(sub_fn, sub, maxiter=args.f32_block,
                                    segment=50, init_carry=carry,
@@ -190,6 +198,7 @@ def main():
                         "params": merge(params, sub),
                         "loss": float(res.final_loss), "x64_flat": x_blk,
                         "note": f"sprint_{total_f32 + sprint_iters}",
+                        "f32_carry": carry,
                     })
                     if float(res.final_loss) <= args.target:
                         break

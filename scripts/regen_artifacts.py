@@ -33,13 +33,15 @@ def main():
 
     jobs = [
         # (run dir, ckpt, case builder, builder kwargs, frames)
-        ("runs/plate_v2", "adam_escape.ckpt", plate_hole, {},
+        # Each run dir's BEST checkpoint (r3: hybrid/host endgame outputs
+        # supersede the curriculum finals they started from).
+        ("runs/plate_v2", "hybrid_best.ckpt", plate_hole, {},
          [10, 20, 30, 50, 60, 70]),
         ("runs/wave_infinite", "wave_infinite_final.ckpt", wave_infinite,
          {"max_t": 20.0}, [10, 20, 30, 40, 60]),
-        ("runs/wave_semi", "wave_semi_infinite_final.ckpt",
+        ("runs/wave_semi", "endgame_best.ckpt",
          wave_semi_infinite, {"max_t": 16.0}, [8, 16, 24, 32, 48]),
-        ("runs/wave_confined", "wave_confined_final.ckpt", wave_confined,
+        ("runs/wave_confined", "host_best.ckpt", wave_confined,
          {"max_t": 14.0}, [6, 12, 18, 24, 40]),
     ]
     for run_dir, ck, mod, kwargs, frames in jobs:
