@@ -163,10 +163,13 @@ def _stacked_matmul(h, d, dtt, w, precision=None):
     if dtt is not None:
         streams.append(dtt[None])
     stacked = jnp.concatenate(streams, axis=0)  # (K, N, in)
-    k = stacked.shape[0]
-    out = jnp.matmul(
-        stacked.reshape(k * n, -1), w, precision=precision
-    ).reshape(k, n, -1)
+    # One (K,N,in)@(in,out) contraction: XLA flattens the leading dims into
+    # a single MXU-friendly dot, and — unlike an explicit reshape to
+    # (K*N,in) — GSPMD keeps the points axis (dim 1) shardable.  The merged
+    # reshape forced a full all-gather of every bank under a data-parallel
+    # mesh (each device then redid the whole computation: the r3 scaling
+    # curve's work-replication signature, docs/scaling_curve.json).
+    out = jnp.matmul(stacked, w, precision=precision)
     z = out[0]
     dz = out[1 : 1 + a]
     ztt = out[1 + a] if dtt is not None else None
