@@ -163,13 +163,20 @@ def _stacked_matmul(h, d, dtt, w, precision=None):
     if dtt is not None:
         streams.append(dtt[None])
     stacked = jnp.concatenate(streams, axis=0)  # (K, N, in)
-    # One (K,N,in)@(in,out) contraction: XLA flattens the leading dims into
-    # a single MXU-friendly dot, and — unlike an explicit reshape to
-    # (K*N,in) — GSPMD keeps the points axis (dim 1) shardable.  The merged
-    # reshape forced a full all-gather of every bank under a data-parallel
-    # mesh (each device then redid the whole computation: the r3 scaling
-    # curve's work-replication signature, docs/scaling_curve.json).
-    out = jnp.matmul(stacked, w, precision=precision)
+    k = stacked.shape[0]
+    # N-MAJOR merge to one (N*K, in) GEMM.  A K-major reshape ((K*N, in))
+    # merges the replicated stream axis OVER the sharded points axis, which
+    # GSPMD cannot keep partitioned: it all-gathered every bank and every
+    # device redid the whole computation (the r3 scaling curve's n^2
+    # work-replication signature, docs/scaling_curve.json).  Merging with
+    # the sharded axis MAJOR keeps each device's rows contiguous, so the
+    # points sharding survives the reshape (0 all-gathers), while the
+    # single flattened GEMM keeps the fast CPU/MXU path (a 3-D batched
+    # matmul was ~1.5x slower through the backward on CPU).
+    merged = jnp.swapaxes(stacked, 0, 1).reshape(n * k, -1)
+    out = jnp.swapaxes(
+        jnp.matmul(merged, w, precision=precision).reshape(n, k, -1), 0, 1
+    )
     z = out[0]
     dz = out[1 : 1 + a]
     ztt = out[1 + a] if dtt is not None else None
