@@ -70,18 +70,27 @@ class InverseProblem:
             rho=jnp.exp(params["log_rho"]),
         )
 
-    def loss_and_aux(self, params, banks: Dict[str, PointBank]):
+    def loss_and_aux(self, params, banks: Dict[str, PointBank],
+                     *, collector=None):
         mat = self.material(params)
         spec = self.model.spec
         net = params["net"]
+
+        def mms(name, r, mask):
+            # Mirror losses/terms._mms: feed the extended-precision chunk
+            # collector (banks.ChunkSumCollector) so the host-f64 engine
+            # (train/lbfgs_host.py) can drive the inverse problem too.
+            if collector is not None:
+                collector.add(name, r, mask)
+            return masked_mean_square(r, mask)
 
         jet = self.model.jet(net, banks["collocation"].xyt)
         res = res_ops.residuals(jet, spec, mat, self.plane)
         cmask = banks["collocation"].mask
         comps = {
-            "f_uv": sum(masked_mean_square(res[n], cmask)
+            "f_uv": sum(mms("f_uv", res[n], cmask)
                         for n in res_ops.momentum_group(spec)),
-            "f_s": sum(masked_mean_square(res[n], cmask)
+            "f_s": sum(mms("f_s", res[n], cmask)
                        for n in res_ops.stress_group(spec)),
         }
 
@@ -90,16 +99,15 @@ class InverseProblem:
         obs = sens.values["uv"]
         iu, iv = spec.index("u"), spec.index("v")
         comps["DATA"] = (
-            masked_mean_square(fields[:, iu] - obs[:, 0], sens.mask)
-            + masked_mean_square(fields[:, iv] - obs[:, 1], sens.mask)
+            mms("DATA", fields[:, iu] - obs[:, 0], sens.mask)
+            + mms("DATA", fields[:, iv] - obs[:, 1], sens.mask)
         )
         if "s" in sens.values:
             # Stress observations: the scale anchor (see module docstring).
             s_obs = sens.values["s"]
             comps["DATA_S"] = sum(
-                masked_mean_square(
-                    fields[:, spec.index(ch)] - s_obs[:, j], sens.mask
-                )
+                mms("DATA_S",
+                    fields[:, spec.index(ch)] - s_obs[:, j], sens.mask)
                 for j, ch in enumerate(("s11", "s22", "s12"))
             )
 

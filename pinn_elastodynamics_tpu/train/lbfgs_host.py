@@ -101,6 +101,58 @@ def make_host_phase_vg(case, phase, params, *, chunk_size: int = 512):
     return host_vg, x0_flat, unravel32
 
 
+def make_host_problem_vg(problem, banks, params, *, chunk_size: int = 512):
+    """Device value+grad for :func:`minimize_host` over a joint problem.
+
+    Same extended-precision scheme as :func:`make_host_phase_vg`, but for
+    problem objects exposing ``loss_and_aux(params, banks, collector=)`` and
+    a ``weights`` tuple — the inverse problem (cases/inverse.py), where ALL
+    leaves (net + log-material parameters) are trainable.  The f32 polish of
+    that problem resolution-floors at loss ~4e-3 with rho biased 4.6%
+    (runs/inverse/recovery.json); f64 host loss restores the line search's
+    ability to certify the small joint-valley decreases.
+
+    Returns (host_vg, x0_flat64, unravel32).
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.flatten_util import ravel_pytree
+
+    from ..banks import ChunkSumCollector
+
+    to32 = lambda tree: jax.tree.map(
+        lambda a: jnp.asarray(a, jnp.float32), tree
+    )
+    x0_flat = np.asarray(ravel_pytree(params)[0], np.float64)
+    _, unravel32 = ravel_pytree(to32(params))
+    names_box: List[str] = []
+
+    def fn(zflat32):
+        p = unravel32(zflat32)
+        coll = ChunkSumCollector(chunk_size)
+        total, _comps = problem.loss_and_aux(p, banks, collector=coll)
+        names_box.clear()
+        names_box.extend(coll.names)
+        return total, (tuple(coll.arrays), tuple(coll.counts))
+
+    vg = jax.jit(jax.value_and_grad(fn, has_aux=True))
+    wmap = dict(problem.weights)
+
+    def host_vg(z64: np.ndarray):
+        z32 = jnp.asarray(np.asarray(z64, np.float32))
+        out = vg(z32)
+        (_f32, (sums, counts)), g = jax.device_get(out)
+        comp = {}
+        for name, s_arr, c in zip(names_box, sums, counts):
+            comp[name] = comp.get(name, 0.0) + (
+                float(np.asarray(s_arr, np.float64).sum()) / float(c)
+            )
+        total = sum(wmap.get(k, 0.0) * v for k, v in comp.items())
+        return total, np.asarray(g, np.float64)
+
+    return host_vg, x0_flat, unravel32
+
+
 @dataclasses.dataclass
 class HostLBFGSResult:
     x: np.ndarray

@@ -40,6 +40,9 @@ def main():
     ap.add_argument("--memory", type=int, default=50)
     ap.add_argument("--patience", type=int, default=200)
     ap.add_argument("--metrics", default=None)
+    ap.add_argument("--build-kwargs", default=None,
+                    help='extra case-builder kwargs as JSON, e.g. '
+                         '\'{"fourier": 64, "fourier_scale": 2.0}\'')
     args = ap.parse_args()
 
     import importlib
@@ -71,6 +74,8 @@ def main():
     build_kwargs = dict(scale=1.0, pad_to_multiple_of=8)
     if args.max_t is not None:
         build_kwargs["max_t"] = args.max_t
+    if args.build_kwargs:
+        build_kwargs.update(json.loads(args.build_kwargs))
     case = mod.build(**build_kwargs)
     params = load_checkpoint(args.ckpt_in, jnp.float32)["params"]
     phase = case.phases[-1]

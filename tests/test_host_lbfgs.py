@@ -85,3 +85,30 @@ def test_host_lbfgs_descends_on_plate_phase():
     assert res.final_loss < 0.9 * f0
     assert res.converged in ("maxiter", "ftol", "gtol", "target",
                              "linesearch")
+
+
+def test_host_problem_vg_matches_f32_loss_and_descends():
+    """Inverse-problem host vg: f64 chunk-sum loss matches the f32 loss and
+    the host engine descends the joint (net, E, rho) objective."""
+    import jax.numpy as jnp
+
+    from pinn_elastodynamics_tpu.cases.inverse import build
+    from pinn_elastodynamics_tpu.train.lbfgs_host import make_host_problem_vg
+
+    prob, banks = build(scale=0.02, pad_to_multiple_of=8,
+                        n_sensor_frames=3, sensors_per_frame=40)
+    params = prob.init_params(seed=0)
+    host_vg, x0, unravel32 = make_host_problem_vg(prob, banks, params,
+                                                  chunk_size=64)
+    f64, g64 = host_vg(x0)
+    f32 = float(prob.loss_fn(banks)(params))
+    assert abs(f64 - f32) <= 1e-5 * max(abs(f32), 1.0)
+    assert np.all(np.isfinite(g64)) and g64.size == x0.size
+
+    res = minimize_host(host_vg, x0, maxiter=15, patience=50)
+    assert res.final_loss < f64
+    # Material leaves sit at the front of the flat vector (sorted dict keys:
+    # log_E, log_rho, net) — the layout scripts/inverse_host.py relies on.
+    p = unravel32(jnp.asarray(np.asarray(res.x, np.float32)))
+    assert np.isclose(float(p["log_E"]), res.x[0], atol=1e-6)
+    assert np.isclose(float(p["log_rho"]), res.x[1], atol=1e-6)
