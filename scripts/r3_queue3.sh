@@ -10,17 +10,14 @@
 # Strictly serial — the chip is single-tenant (CLAUDE.md).
 set -u
 cd /root/repo
-export JAX_COMPILATION_CACHE_DIR=/root/repo/.jax_cache
-export JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS=1.0
-export JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES=-1
+# NOTE: persistent-compilation-cache env vars deliberately NOT set — the
+# first probe (scripts/compile_cache_probe.py) hung past its 900 s timeout
+# with the cache configured and created no cache dir, so the cache either
+# doesn't work through the axon PJRT plugin or poisons its compile path.
+# Measured 2026-08-17 21:36; don't re-enable without a fresh probe.
 
 TPU_DEADLINE=${1:-$(( $(date +%s) + 23400 ))}   # default 6.5h
 left () { echo $(( TPU_DEADLINE - $(date +%s) )); }
-
-echo "=== cache probe run 1 ==="
-timeout 900 python scripts/compile_cache_probe.py --tag first
-echo "=== cache probe run 2 (fresh process; fast => cache works) ==="
-timeout 900 python scripts/compile_cache_probe.py --tag second
 
 if [ "$(left)" -gt 1200 ]; then
   echo "=== regen FEM artifacts ($(left)s left) ==="
