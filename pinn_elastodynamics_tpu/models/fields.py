@@ -163,6 +163,9 @@ class CompositeFieldModel:
     uv_hidden: Tuple[int, ...]
     dist_hidden: Tuple[int, ...]
     part_hidden: Tuple[int, ...]
+    # normalize/lb/ub apply to the uv net ONLY (and only when uv_fourier is
+    # set — the embedding needs inputs in [-1,1]); dist/part always see raw
+    # coordinates (see _sub).
     normalize: bool = False
     lb: Optional[Tuple[float, ...]] = None
     ub: Optional[Tuple[float, ...]] = None
@@ -178,12 +181,18 @@ class CompositeFieldModel:
     uv_fourier_scale: float = 1.0
 
     def _sub(self, hidden, jet_impl: str = "xla") -> MLPFieldModel:
+        # dist/part ALWAYS see raw coordinates: normalization is an
+        # embedding concern of the uv net (it rides with the Fourier
+        # features), and measured f64 pretraining of the dist net under
+        # normalized inputs floors ~50x higher than with raw inputs
+        # (1.1e-2 vs 2.2e-4 phase loss at 20k iters) — which would
+        # silently degrade hard-BC enforcement for the whole composite.
         return MLPFieldModel(
             spec=self.spec,
             hidden=hidden,
-            normalize=self.normalize,
-            lb=self.lb,
-            ub=self.ub,
+            normalize=False,
+            lb=None,
+            ub=None,
             precision=self.precision,
             jet_impl=jet_impl,
         )
@@ -231,10 +240,10 @@ class CompositeFieldModel:
             from ..kernels.fused_jet_vjp import fused_composite_jet_vjp
 
             interpret = _execution_platform() not in _TPU_PLATFORMS
-            lb = self.lb if self.normalize else None
-            ub = self.ub if self.normalize else None
+            # All three sub-nets see raw coordinates here (normalize only
+            # affects the Fourier uv net, which takes the XLA branch above).
             return fused_composite_jet_vjp(
-                params, xyt, order, 512, interpret, lb, ub)
+                params, xyt, order, 512, interpret, None, None)
         uv = self.uv_net.jet(params["uv"], xyt, order=order)
         dist = self.dist_net.jet(params["dist"], xyt, order=order)
         part = self.part_net.jet(params["part"], xyt, order=order)

@@ -35,6 +35,15 @@ def main():
     ap.add_argument("--pretrain-iters", type=int, default=2500)
     ap.add_argument("--adam", type=int, default=2000)
     ap.add_argument("--block", type=int, default=1000)
+    ap.add_argument("--dist-part-from", default=None,
+                    help="checkpoint with f64-CPU-pretrained dist/part nets "
+                         "for THIS build (scripts/pretrain_dist_part_f64.py "
+                         "--fourier ...); defaults to "
+                         "<out>/pretrain_norm.ckpt when present.  The f32 "
+                         "TPU self-pretrain lands the dist net ~2600x worse "
+                         "(phase loss 5.8e-1 vs 2.2e-4), silently breaking "
+                         "hard-BC enforcement — BC error is invisible to "
+                         "the uv loss.")
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -77,16 +86,34 @@ def main():
          "feature_scale": args.feature_scale, "minutes": args.minutes})
 
     if not resume:
-        # dist/part pretrain (reference's 1000x-scaled phases).
-        params, results = run_pipeline(
-            case, params,
-            maxiter_override={"dist": args.pretrain_iters,
-                              "part": args.pretrain_iters, "uv": 0},
-            segment=50, log_every=500,
-        )
-        log({"event": "pretrain_done",
-             **{k: float(v.final_loss) for k, v in results.items()
-                if k != "uv"}})
+        pre_path = args.dist_part_from or os.path.join(
+            args.out, "pretrain_norm.ckpt")
+        if not os.path.exists(pre_path):
+            # dist/part see raw coordinates in every composite build
+            # (models/fields.py::_sub), so the plain-build f64 pretrain is
+            # directly reusable under the Fourier uv net.
+            pre_path = "runs/pretrain_f64.ckpt"
+        if os.path.exists(pre_path):
+            from pinn_elastodynamics_tpu.train.checkpoint import (
+                load_checkpoint,
+            )
+
+            pre = load_checkpoint(pre_path, jnp.float32)
+            params = {**params, "dist": pre["params"]["dist"],
+                      "part": pre["params"]["part"]}
+            log({"event": "pretrain_loaded", "path": pre_path,
+                 **{k: v for k, v in pre.get("pretrain_f64", {}).items()}})
+        else:
+            # dist/part pretrain (reference's 1000x-scaled phases).
+            params, results = run_pipeline(
+                case, params,
+                maxiter_override={"dist": args.pretrain_iters,
+                                  "part": args.pretrain_iters, "uv": 0},
+                segment=50, log_every=500,
+            )
+            log({"event": "pretrain_done",
+                 **{k: float(v.final_loss) for k, v in results.items()
+                    if k != "uv"}})
 
     phase = case.phases[-1]
     sub_fn, sub, merge = _phase_loss_fn(case, phase, params)

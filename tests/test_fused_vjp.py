@@ -113,8 +113,12 @@ def test_composite_vjp_matches_autodiff(order):
         return weighted(model.jet(p, xx, order=order))
 
     def l_ker(p, xx):
+        # Production contract: composite sub-nets always see raw
+        # coordinates (normalize only affects the Fourier uv net), so the
+        # kernel is called without lb/ub even though the model sets
+        # normalize=True above — this also pins the no-op semantics.
         return weighted(fused_composite_jet_vjp(
-            p, xx, order, 64, True, model.lb, model.ub))
+            p, xx, order, 64, True, None, None))
 
     vr, (gr, gxr) = jax.value_and_grad(l_ref, argnums=(0, 1))(params, x)
     vk, (gk, gxk) = jax.value_and_grad(l_ker, argnums=(0, 1))(params, x)
@@ -128,6 +132,43 @@ def test_composite_vjp_matches_autodiff(order):
             np.testing.assert_allclose(
                 a["b"], b["b"], atol=3e-4 * max(1, scale), err_msg=k)
     np.testing.assert_allclose(gxk, gxr, atol=3e-4 * max(1, scale))
+
+
+def test_composite_kernel_lb_ub_matches_normalized_reference():
+    """The kernel's own lb/ub (input normalization) path still works: it
+    must equal the XLA jet of per-net normalized MLPs."""
+    from pinn_elastodynamics_tpu.kernels.fused_jet_vjp import (
+        fused_composite_jet_vjp,
+    )
+    from pinn_elastodynamics_tpu.models.fields import (
+        FIRST_ORDER,
+        FieldSpec,
+        MLPFieldModel,
+    )
+
+    spec = FieldSpec(ndim=2, formulation=FIRST_ORDER)
+    lb, ub = (0.0, 0.0, 0.0), (2.0, 2.0, 3.0)
+    nets = {
+        "uv": MLPFieldModel(spec=spec, hidden=(40,) * 2, normalize=True,
+                            lb=lb, ub=ub),
+        "dist": MLPFieldModel(spec=spec, hidden=(16,) * 2, normalize=True,
+                              lb=lb, ub=ub),
+        "part": MLPFieldModel(spec=spec, hidden=(16,) * 2, normalize=True,
+                              lb=lb, ub=ub),
+    }
+    key = jax.random.PRNGKey(21)
+    params = {k: m.init(k2) for (k, m), k2 in
+              zip(nets.items(), jax.random.split(key, 3))}
+    x = jax.random.uniform(jax.random.PRNGKey(22), (120, 3), jnp.float32) * 2
+
+    ref = (nets["part"].jet(params["part"], x, order=1)
+           + nets["dist"].jet(params["dist"], x, order=1)
+           * nets["uv"].jet(params["uv"], x, order=1))
+    ker = fused_composite_jet_vjp(params, x, 1, 64, True, lb, ub)
+    np.testing.assert_allclose(np.asarray(ker.f), np.asarray(ref.f),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ker.d), np.asarray(ref.d),
+                               atol=1e-5)
 
 
 @pytest.mark.parametrize("order", [1, 2])
