@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from typing import Dict
 
+import jax.numpy as jnp
 import numpy as np
 
 from ..banks import PointBank, make_bank
@@ -31,12 +32,73 @@ MAX_T = 10.0
 FEM_DIR = "/root/reference/PlateHoleQuarter/FEM_result/Quarter_plate_hole_dynamic"
 
 
+def analytic_dist(p):
+    """Closed-form smooth distance factors [d_u, d_v, d_s11, d_s22, d_s12].
+
+    Same zero sets as the regressed targets (train.py:643-656 /
+    geometry/distance.py::plate_hole_distance) but EXACT and smooth:
+    L·tanh(z/L) replaces each min() arm (slope 1 at the constraint,
+    saturates at L≈ the reference targets' interior magnitude), and the
+    u/v time factor is tanh²(t) so that ∂D/∂t(t=0) = 0 — the zero-initial-
+    velocity condition the reference only *penalizes* into its dist net
+    (train.py:194-200) holds here by construction.
+    """
+    x, y, t = p[0], p[1], p[2]
+    L = 0.25
+    s = lambda z: L * jnp.tanh(z / L)
+    tv = jnp.tanh(t) ** 2        # value+velocity IC factor (u, v)
+    ts = jnp.tanh(t)             # value-only IC factor (stresses)
+    d_u = tv * s(x)
+    d_v = tv * s(y)
+    d_s11 = ts * s(0.5 - x)
+    d_s22 = ts * s(0.5 - y)
+    d_s12 = ts * s(x) * s(0.5 - x) * s(y) * s(0.5 - y) / s(0.25) ** 3
+    return jnp.stack([d_u, d_v, d_s11, d_s22, d_s12])
+
+
+def analytic_part(p):
+    """Closed-form particular solution [P_u, P_v, P_s11, P_s22, P_s12].
+
+    The plate's IC/BC data admit an exact particular field: everything is
+    zero except s11, which must equal the cyclic load on the loaded edge
+    x=0.5 (train.py:918-926) — a linear ramp 2x·load(t) matches it exactly
+    there, vanishes on the symmetry edge, and load(0) = load'(0) = 0 makes
+    the t=0 value and rate ICs exact too.
+    """
+    x, t = p[0], p[2]
+    load = 0.5 * jnp.sin((2.0 * jnp.pi / 5.0) * t + 1.5 * jnp.pi) + 0.5
+    z = jnp.zeros_like(x)
+    return jnp.stack([z, z, 2.0 * x * load, z, z])
+
+
 def build_model(precision=None, jet_impl="auto", fourier: int = 0,
-                fourier_scale: float = 1.0) -> CompositeFieldModel:
+                fourier_scale: float = 1.0, bc: str = "net"):
     # uv [3]+8*[70]+[5], dist/part [3]+4*[20]+[5] (train.py:885-887).
     # ``fourier`` > 0 puts a random-Fourier-feature embedding on the uv net
     # (spectral-bias lever for the lagging small-magnitude stress fields).
+    # ``bc="analytic"`` swaps the regressed dist/part nets for the exact
+    # closed-form factors above (models/analytic_bc.py): BCs hold by
+    # construction and the two pretraining phases disappear.
     spec = FieldSpec(ndim=2, formulation=SECOND_ORDER)
+    if bc == "analytic":
+        from ..models.analytic_bc import AnalyticCompositeFieldModel
+        from ..models.fields import MLPFieldModel
+
+        if fourier:
+            from ..models.fourier import FourierMLPFieldModel
+
+            uv = FourierMLPFieldModel(
+                spec=spec, hidden=(70,) * 8, n_features=fourier,
+                feature_scale=fourier_scale, normalize=True, lb=LB, ub=UB,
+                precision=precision, jet_impl=jet_impl,
+            )
+        else:
+            uv = MLPFieldModel(spec=spec, hidden=(70,) * 8,
+                               precision=precision, jet_impl=jet_impl)
+        return AnalyticCompositeFieldModel(
+            spec=spec, uv_model=uv,
+            dist_fn=analytic_dist, part_fn=analytic_part,
+        )
     return CompositeFieldModel(
         spec=spec,
         uv_hidden=(70,) * 8,
@@ -184,11 +246,29 @@ def build(
     jet_impl="auto",
     fourier: int = 0,
     fourier_scale: float = 1.0,
+    bc: str = "net",
 ) -> Case:
     ftol = 1e-5 * float(np.finfo(np.float64).eps)  # train.py:227
+    if bc == "analytic":
+        # Exact closed-form D/P: no pretraining phases exist (the
+        # reference budgets 2x20k L-BFGS iterations for them,
+        # train.py:220-236).
+        phases = (
+            Phase("uv", main_loss(), trainable="uv", scale=1.0,
+                  maxiter=maxiter_uv, ftol=ftol),
+        )
+    else:
+        phases = (
+            Phase("dist", dist_loss(), trainable="dist", scale=1000.0,
+                  maxiter=maxiter_dist, ftol=ftol),
+            Phase("part", part_loss(), trainable="part", scale=1000.0,
+                  maxiter=maxiter_part, ftol=ftol),
+            Phase("uv", main_loss(), trainable="uv", scale=1.0,
+                  maxiter=maxiter_uv, ftol=ftol),
+        )
     return Case(
         name="plate_hole_quarter",
-        model=build_model(precision, jet_impl, fourier, fourier_scale),
+        model=build_model(precision, jet_impl, fourier, fourier_scale, bc),
         material=Material(E=20.0, mu=0.25, rho=1.0),
         plane=PLANE_STRESS,
         loss=main_loss(),
@@ -196,14 +276,7 @@ def build(
             seed=seed, scale=scale, dtype=dtype,
             pad_to_multiple_of=pad_to_multiple_of,
         ),
-        phases=(
-            Phase("dist", dist_loss(), trainable="dist", scale=1000.0,
-                  maxiter=maxiter_dist, ftol=ftol),
-            Phase("part", part_loss(), trainable="part", scale=1000.0,
-                  maxiter=maxiter_part, ftol=ftol),
-            Phase("uv", main_loss(), trainable="uv", scale=1.0,
-                  maxiter=maxiter_uv, ftol=ftol),
-        ),
+        phases=phases,
         lb=LB,
         ub=UB,
         n_frames=81,

@@ -128,3 +128,38 @@ def input_jet(xyt: jax.Array, *, order: int = 1) -> Jet:
     d = jnp.broadcast_to(eye[:, None, :], (a, n, a))
     dtt = jnp.zeros_like(xyt) if order >= 2 else None
     return Jet(f=xyt, d=d, dtt=dtt)
+
+
+def jet_of_fn(fn_point, xyt: jax.Array, *, order: int = 1) -> Jet:
+    """Jet of an arbitrary smooth per-point function via forward-mode AD.
+
+    ``fn_point`` maps a single coordinate vector (A,) to field values (C,).
+    Used for closed-form composite factors (analytic distance / particular
+    fields, models/analytic_bc.py), which replace the reference's
+    *regressed* dist/part networks (train.py:322-356) with exact functions —
+    the derivatives the residual ops need come from ``jax.jvp`` instead of
+    jet propagation through network layers.
+
+    Cost: A jvp evaluations for ``d`` plus one second-order jvp for ``dtt``
+    — negligible for the small closed-form expressions this is meant for,
+    and XLA fuses them with the surrounding composite algebra.
+    """
+    n, a = xyt.shape
+
+    f = jax.vmap(fn_point)(xyt)
+
+    def dcol(i):
+        e = jnp.zeros((a,), xyt.dtype).at[i].set(1.0)
+        return jax.vmap(lambda p: jax.jvp(fn_point, (p,), (e,))[1])(xyt)
+
+    d = jnp.stack([dcol(i) for i in range(a)], axis=0)
+
+    dtt = None
+    if order >= 2:
+        et = jnp.zeros((a,), xyt.dtype).at[a - 1].set(1.0)
+
+        def ft(p):
+            return jax.jvp(fn_point, (p,), (et,))[1]
+
+        dtt = jax.vmap(lambda p: jax.jvp(ft, (p,), (et,))[1])(xyt)
+    return Jet(f=f, d=d, dtt=dtt)

@@ -35,6 +35,10 @@ def main():
     ap.add_argument("--pretrain-iters", type=int, default=2500)
     ap.add_argument("--adam", type=int, default=2000)
     ap.add_argument("--block", type=int, default=1000)
+    ap.add_argument("--bc", default="net", choices=("net", "analytic"),
+                    help="'analytic' = exact closed-form D/P composite "
+                         "(models/analytic_bc.py): BCs hold by "
+                         "construction, no pretraining phases")
     ap.add_argument("--dist-part-from", default=None,
                     help="checkpoint with f64-CPU-pretrained dist/part nets "
                          "for THIS build (scripts/pretrain_dist_part_f64.py "
@@ -66,7 +70,7 @@ def main():
     t_end = time.time() + args.minutes * 60
     case = plate_hole.build(
         scale=1.0, pad_to_multiple_of=8, fourier=args.features,
-        fourier_scale=args.feature_scale,
+        fourier_scale=args.feature_scale, bc=args.bc,
     )
     # Crash-resume: the chip faults sporadically under sustained load; an
     # outer shell loop relaunches us and we continue from our best
@@ -85,7 +89,9 @@ def main():
     log({"event": "start", "features": args.features,
          "feature_scale": args.feature_scale, "minutes": args.minutes})
 
-    if not resume:
+    if not resume and args.bc == "analytic":
+        pass  # exact closed-form D/P: nothing to pretrain or load
+    elif not resume:
         pre_path = args.dist_part_from or os.path.join(
             args.out, "pretrain_norm.ckpt")
         if not os.path.exists(pre_path):
