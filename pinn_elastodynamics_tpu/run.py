@@ -63,6 +63,13 @@ def main(argv=None):
                          "shorter device executions, safer vs watchdogs)")
     ap.add_argument("--x64", action="store_true",
                     help="float64 (CPU parity debugging; slow on TPU)")
+    ap.add_argument("--fourier", type=int, default=0,
+                    help="random-Fourier-feature count on the uv net "
+                         "(builder knob; 0 = plain MLP)")
+    ap.add_argument("--fourier-scale", type=float, default=1.0)
+    ap.add_argument("--bc", default=None, choices=("net", "analytic"),
+                    help="plate only: 'analytic' = exact closed-form D/P "
+                         "composite (models/analytic_bc.py)")
     ap.add_argument("--compare-fem", action="store_true")
     ap.add_argument("--plots", type=int, default=0,
                     help="render N comparison frames")
@@ -86,6 +93,11 @@ def main(argv=None):
                         pad_to_multiple_of=len(jax.devices()))
     if args.max_t is not None:
         build_kwargs["max_t"] = args.max_t
+    if args.fourier:
+        build_kwargs.update(fourier=args.fourier,
+                            fourier_scale=args.fourier_scale)
+    if args.bc is not None:
+        build_kwargs["bc"] = args.bc
     case = mod.build(**build_kwargs)
 
     os.makedirs(args.out, exist_ok=True)
