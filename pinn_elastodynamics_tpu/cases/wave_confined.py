@@ -30,14 +30,70 @@ SRC_R = 2.0
 FEM_DIR = "/root/reference/ElasticWaveConfined/FEM_result/30x30_gauss_fine"
 
 
-def build_model(max_t: float = 14.0, precision=None, jet_impl="auto") -> MLPFieldModel:
+def analytic_dist(p):
+    """Closed-form distance factors for hard edge/IC enforcement.
+
+    Channels [u, v, ut, vt, s11, s22, s12] (FIRST_ORDER).  The fixed-edge
+    condition u = v = 0 on all four edges of [-15, 15]² (:930-938) and the
+    zero ICs (:926-928) become structural: u/v get an edge-vanishing spatial
+    envelope times tanh²(t) (zero value AND rate at t=0), the velocity
+    outputs ut/vt get the same envelope times tanh(t), and the stress
+    outputs get tanh(t) alone (IC only — stresses are free on the edges).
+    The source circle is NOT in any zero set (the pulse is prescribed
+    there, softly, same as the reference).  The reference constructs dist
+    targets of exactly these zero sets but never uses them
+    (ElasticWave.py:510-526; SURVEY.md §2.4).
+    """
+    import jax.numpy as jnp
+
+    x, y, t = p[0], p[1], p[2]
+    L = 5.0
+    s = lambda z: L * jnp.tanh(z / L)
+    env = (s(x + 15.0) * s(15.0 - x) * s(y + 15.0) * s(15.0 - y)
+           / s(15.0) ** 4)
+    tv = jnp.tanh(t) ** 2   # value + velocity IC (u, v)
+    ts = jnp.tanh(t)        # value-only IC (ut, vt, stresses)
+    d_uv = tv * env
+    d_vel = ts * env
+    return jnp.stack([d_uv, d_uv, d_vel, d_vel, ts, ts, ts])
+
+
+def analytic_part(p):
+    """P = 0: every hard-enforced boundary/initial value is zero here."""
+    import jax.numpy as jnp
+
+    return jnp.zeros((7,), p.dtype)
+
+
+def build_model(max_t: float = 14.0, precision=None, jet_impl="auto",
+                bc: str = "soft", fourier: int = 0,
+                fourier_scale: float = 1.0, max_t_norm: float = 14.0):
     # [3] + 6*[140] + [7] (:891); no input normalization (:235).
-    return MLPFieldModel(
-        spec=FieldSpec(ndim=2, formulation=FIRST_ORDER),
-        hidden=(140,) * 6,
-        precision=precision,
-        jet_impl=jet_impl,
-    )
+    spec = FieldSpec(ndim=2, formulation=FIRST_ORDER)
+    if fourier:
+        from ..models.fourier import FourierMLPFieldModel
+
+        net = FourierMLPFieldModel(
+            spec=spec, hidden=(140,) * 6, n_features=fourier,
+            feature_scale=fourier_scale, normalize=True,
+            lb=(-15.0, -15.0, 0.0), ub=(15.0, 15.0, max_t_norm),
+            precision=precision, jet_impl=jet_impl,
+        )
+    else:
+        net = MLPFieldModel(
+            spec=spec,
+            hidden=(140,) * 6,
+            precision=precision,
+            jet_impl=jet_impl,
+        )
+    if bc == "hard":
+        from ..models.analytic_bc import AnalyticCompositeFieldModel
+
+        return AnalyticCompositeFieldModel(
+            spec=spec, uv_model=net,
+            dist_fn=analytic_dist, part_fn=analytic_part,
+        )
+    return net
 
 
 def build_banks(
@@ -100,19 +156,26 @@ def build_banks(
     }
 
 
-def main_loss() -> LossSpec:
-    """loss = 5·f_uv + 5·f_s + SRC + IC + FIX (:156)."""
-    return LossSpec(
-        terms=(
-            ("collocation", PDEResidual(plane=PLANE_STRAIN)),
-            ("src", FieldTarget(name="SRC", channels=("u", "v"), target_key="uv")),
+def main_loss(bc: str = "soft") -> LossSpec:
+    """loss = 5·f_uv + 5·f_s + SRC + IC + FIX (:156).
+
+    With ``bc="hard"`` the IC and FIX terms are exactly zero by
+    construction (analytic_dist), so they are dropped from the spec; the
+    remaining value is directly comparable to the soft-spec loss of any
+    model because the dropped terms contribute 0 for the hard composite.
+    """
+    terms = [
+        ("collocation", PDEResidual(plane=PLANE_STRAIN)),
+        ("src", FieldTarget(name="SRC", channels=("u", "v"), target_key="uv")),
+    ]
+    weights = [("f_uv", 5.0), ("f_s", 5.0), ("SRC", 1.0)]
+    if bc != "hard":
+        terms += [
             ("ic", FieldTarget(name="IC", channels=("u", "v", "ut", "vt"))),
             ("fixed", FieldTarget(name="FIX", channels=("u", "v"))),
-        ),
-        weights=(
-            ("f_uv", 5.0), ("f_s", 5.0), ("SRC", 1.0), ("IC", 1.0), ("FIX", 1.0),
-        ),
-    )
+        ]
+        weights += [("IC", 1.0), ("FIX", 1.0)]
+    return LossSpec(terms=tuple(terms), weights=tuple(weights))
 
 
 def eval_grid(num: int = 201) -> np.ndarray:
@@ -125,19 +188,25 @@ def eval_grid(num: int = 201) -> np.ndarray:
 def build(
     *, max_t: float = 14.0, seed: int = 1111, scale: float = 1.0,
     dtype=np.float32, pad_to_multiple_of: int = 1, maxiter: int = 100000, precision="highest", jet_impl="auto",
+    bc: str = "soft", fourier: int = 0, fourier_scale: float = 1.0,
 ) -> Case:
     ftol = float(np.finfo(np.float64).eps)  # ftol = 1·eps (:166)
+    # Fourier input normalization is pinned to the FINAL horizon (14 s)
+    # so the embedding is identical across curriculum stages and
+    # warm-started params keep their meaning.
     return Case(
         name="elastic_wave_confined",
-        model=build_model(max_t, precision=precision, jet_impl=jet_impl),
+        model=build_model(max_t, precision=precision, jet_impl=jet_impl,
+                          bc=bc, fourier=fourier,
+                          fourier_scale=fourier_scale, max_t_norm=14.0),
         material=Material(E=2.5, mu=0.25, rho=1.0),
         plane=PLANE_STRAIN,
-        loss=main_loss(),
+        loss=main_loss(bc),
         banks=build_banks(
             max_t=max_t, seed=seed, scale=scale, dtype=dtype,
             pad_to_multiple_of=pad_to_multiple_of,
         ),
-        phases=(Phase("uv", main_loss(), maxiter=maxiter, ftol=ftol),),
+        phases=(Phase("uv", main_loss(bc), maxiter=maxiter, ftol=ftol),),
         lb=(-15.0, -15.0, 0.0),
         ub=(15.0, 15.0, max_t),
         n_frames=int(max_t * 4 + 1),

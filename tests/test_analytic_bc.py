@@ -118,3 +118,74 @@ def test_analytic_case_trains_single_phase():
     f0 = float(fn(sub))
     res = minimize(fn, sub, maxiter=40, segment=20, patience=100)
     assert float(res.final_loss) < 0.7 * f0
+
+
+# ---------------------------------------------------------------------------
+# Confined wave: hard edge/IC enforcement (cases/wave_confined.py bc="hard")
+# ---------------------------------------------------------------------------
+
+def test_confined_hard_bc_zero_sets_and_equivalence():
+    from pinn_elastodynamics_tpu.cases import wave_confined as wc
+
+    model = wc.build_model(jet_impl="xla", bc="hard")
+    params = model.init(jax.random.PRNGKey(5))
+    n = 60
+    rng = np.random.default_rng(3)
+    ys = rng.uniform(-15, 15, n).astype(np.float32)
+    ts = rng.uniform(0, 14, n).astype(np.float32)
+
+    # u, v, ut, vt vanish on all four edges for a RANDOM net.
+    for pts in (np.stack([0 * ys - 15, ys, ts], 1),
+                np.stack([0 * ys + 15, ys, ts], 1),
+                np.stack([ys, 0 * ys - 15, ts], 1),
+                np.stack([ys, 0 * ys + 15, ts], 1)):
+        f = np.asarray(model.apply(params, pts))
+        assert np.allclose(f[:, :4], 0.0, atol=1e-6)
+
+    # Every channel zero at t=0; du/dt = dv/dt = 0 at t=0.
+    ic = np.stack([ys, ys[::-1], 0 * ts], 1)
+    assert np.allclose(np.asarray(model.apply(params, ic)), 0.0, atol=1e-6)
+    jet = model.jet(params, jnp.asarray(ic), order=1)
+    assert np.allclose(np.asarray(jet.dt[:, :2]), 0.0, atol=1e-6)
+
+    # Soft-spec loss of the hard model == hard-spec loss (IC/FIX terms are
+    # exactly zero), so the convergence bars stay comparable.
+    case_h = wc.build(scale=0.003, pad_to_multiple_of=8, jet_impl="xla",
+                      bc="hard")
+    p = case_h.init_params(seed=0)
+    soft = wc.main_loss("soft")
+    hard = wc.main_loss("hard")
+    lh, _ = hard.evaluate(case_h.model, p, case_h.material, case_h.banks)
+    ls, comps = soft.evaluate(case_h.model, p, case_h.material, case_h.banks)
+    assert float(comps["IC"]) < 1e-10
+    assert float(comps["FIX"]) < 1e-10
+    np.testing.assert_allclose(float(lh), float(ls), rtol=1e-6)
+
+
+def test_confined_hard_jet_matches_autodiff():
+    from pinn_elastodynamics_tpu.cases import wave_confined as wc
+
+    model = wc.build_model(jet_impl="xla", bc="hard")
+    params = model.init(jax.random.PRNGKey(9))
+    u = jax.random.uniform(jax.random.PRNGKey(10), (100, 3), jnp.float32)
+    x = u * jnp.asarray([30.0, 30.0, 14.0]) - jnp.asarray([15.0, 15.0, 0.0])
+    jet = model.jet(params, x, order=1)
+    J = jax.vmap(jax.jacfwd(lambda p: model.apply(params, p[None, :])[0]))(x)
+    for i in range(3):
+        np.testing.assert_allclose(np.asarray(jet.d[i]),
+                                   np.asarray(J[:, :, i]),
+                                   rtol=2e-4, atol=2e-5)
+
+
+def test_confined_hard_case_trains():
+    from pinn_elastodynamics_tpu.cases import wave_confined as wc
+    from pinn_elastodynamics_tpu.cases.base import _phase_loss_fn
+    from pinn_elastodynamics_tpu.train.lbfgs import minimize
+
+    case = wc.build(scale=0.003, pad_to_multiple_of=8, jet_impl="xla",
+                    bc="hard")
+    params = case.init_params(seed=0)
+    fn, sub, merge = _phase_loss_fn(case, case.phases[0], params)
+    f0 = float(fn(sub))
+    res = minimize(fn, sub, maxiter=40, segment=20, patience=100)
+    assert float(res.final_loss) < 0.8 * f0
