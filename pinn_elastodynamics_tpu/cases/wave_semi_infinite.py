@@ -27,28 +27,67 @@ SRC_R = 2.0
 FEM_DIR = "/root/reference/ElasticWaveSemiInfinite/FEM_result"
 
 
+def analytic_dist(p):
+    """Closed-form distance factors for hard IC + free-surface enforcement.
+
+    Channels [u, v, ut, vt, s11, s22, s12]: u/v get tanh²(t) (zero value
+    AND rate at t=0 — there are no displacement BCs on a truncated
+    semi-infinite domain), ut/vt/s11 get tanh(t), and the traction-free
+    surface σ22 = σ12 = 0 on y = 15 (:697-700) multiplies those two
+    channels by a surface-vanishing envelope.  The Ricker source stays a
+    soft term (prescribed nonzero displacement on the circle).
+    """
+    import jax.numpy as jnp
+
+    y, t = p[1], p[2]
+    e_up = jnp.tanh((15.0 - y) / 5.0)
+    tv = jnp.tanh(t) ** 2
+    ts = jnp.tanh(t)
+    return jnp.stack([tv, tv, ts, ts, ts, ts * e_up, ts * e_up])
+
+
+def analytic_part(p):
+    """P = 0: every hard-enforced boundary/initial value is zero here."""
+    import jax.numpy as jnp
+
+    return jnp.zeros((7,), p.dtype)
+
+
 def build_model(max_t: float = 16.0, precision=None, jet_impl="auto",
-                fourier: int = 0, fourier_scale: float = 1.0):
+                fourier: int = 0, fourier_scale: float = 1.0,
+                bc: str = "soft", max_t_norm: float = 16.0):
     # [3] + 8*[100] + [7] (:679); no input normalization (:198).
     # ``fourier`` > 0 swaps in the random-Fourier-feature embedding
     # (models/fourier.py) — the spectral-bias remedy for wave problems;
     # normalized inputs so the feature frequencies are domain-relative.
+    # Normalization is pinned to max_t_norm (the FINAL curriculum horizon)
+    # so the embedding is identical across stages and warm-started params
+    # keep their meaning.
     spec = FieldSpec(ndim=2, formulation=FIRST_ORDER)
     if fourier:
         from ..models.fourier import FourierMLPFieldModel
 
-        return FourierMLPFieldModel(
+        net = FourierMLPFieldModel(
             spec=spec, hidden=(100,) * 8, n_features=fourier,
             feature_scale=fourier_scale, normalize=True,
-            lb=(-15.0, -15.0, 0.0), ub=(15.0, 15.0, max_t),
+            lb=(-15.0, -15.0, 0.0), ub=(15.0, 15.0, max_t_norm),
             precision=precision,
         )
-    return MLPFieldModel(
-        spec=spec,
-        hidden=(100,) * 8,
-        precision=precision,
-        jet_impl=jet_impl,
-    )
+    else:
+        net = MLPFieldModel(
+            spec=spec,
+            hidden=(100,) * 8,
+            precision=precision,
+            jet_impl=jet_impl,
+        )
+    if bc == "hard":
+        from ..models.analytic_bc import AnalyticCompositeFieldModel
+
+        return AnalyticCompositeFieldModel(
+            spec=spec, uv_model=net,
+            dist_fn=analytic_dist, part_fn=analytic_part,
+        )
+    return net
 
 
 def build_banks(
@@ -111,19 +150,25 @@ def build_banks(
     }
 
 
-def main_loss() -> LossSpec:
-    """loss = 5·f_uv + 5·f_s + 2·IC + 2·SRC + 2·NB (:127)."""
-    return LossSpec(
-        terms=(
-            ("collocation", PDEResidual(plane=PLANE_STRAIN)),
+def main_loss(bc: str = "soft") -> LossSpec:
+    """loss = 5·f_uv + 5·f_s + 2·IC + 2·SRC + 2·NB (:127).
+
+    With ``bc="hard"`` the IC and NB terms are exactly zero by construction
+    (analytic_dist) and drop from the spec; the remaining value stays
+    directly comparable to the soft-spec loss of any model.
+    """
+    terms = [
+        ("collocation", PDEResidual(plane=PLANE_STRAIN)),
+        ("src", FieldTarget(name="SRC", channels=("u", "v"), target_key="uv")),
+    ]
+    weights = [("f_uv", 5.0), ("f_s", 5.0), ("SRC", 2.0)]
+    if bc != "hard":
+        terms += [
             ("ic", FieldTarget(name="IC", channels=("u", "v", "ut", "vt"))),
-            ("src", FieldTarget(name="SRC", channels=("u", "v"), target_key="uv")),
             ("up", FieldTarget(name="NB", channels=("s22", "s12"))),
-        ),
-        weights=(
-            ("f_uv", 5.0), ("f_s", 5.0), ("IC", 2.0), ("SRC", 2.0), ("NB", 2.0),
-        ),
-    )
+        ]
+        weights += [("IC", 2.0), ("NB", 2.0)]
+    return LossSpec(terms=tuple(terms), weights=tuple(weights))
 
 
 def eval_grid(num: int = 201) -> np.ndarray:
@@ -136,21 +181,22 @@ def build(
     *, max_t: float = 16.0, seed: int = 1111, scale: float = 1.0,
     dtype=np.float32, pad_to_multiple_of: int = 1, maxiter: int = 1000,
     precision="highest", jet_impl="auto",
-    fourier: int = 0, fourier_scale: float = 1.0,
+    fourier: int = 0, fourier_scale: float = 1.0, bc: str = "soft",
 ) -> Case:
     ftol = 1e-3 * float(np.finfo(np.float64).eps)  # :136
     return Case(
         name="elastic_wave_semi_infinite",
         model=build_model(max_t, precision=precision, jet_impl=jet_impl,
-                          fourier=fourier, fourier_scale=fourier_scale),
+                          fourier=fourier, fourier_scale=fourier_scale,
+                          bc=bc, max_t_norm=16.0),
         material=Material(E=2.5, mu=0.25, rho=1.0),
         plane=PLANE_STRAIN,
-        loss=main_loss(),
+        loss=main_loss(bc),
         banks=build_banks(
             max_t=max_t, seed=seed, scale=scale, dtype=dtype,
             pad_to_multiple_of=pad_to_multiple_of,
         ),
-        phases=(Phase("uv", main_loss(), maxiter=maxiter, ftol=ftol),),
+        phases=(Phase("uv", main_loss(bc), maxiter=maxiter, ftol=ftol),),
         lb=(-15.0, -15.0, 0.0),
         ub=(15.0, 15.0, max_t),
         n_frames=int(max_t * 4 + 1),

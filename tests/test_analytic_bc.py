@@ -189,3 +189,55 @@ def test_confined_hard_case_trains():
     f0 = float(fn(sub))
     res = minimize(fn, sub, maxiter=40, segment=20, patience=100)
     assert float(res.final_loss) < 0.8 * f0
+
+
+# ---------------------------------------------------------------------------
+# Semi-infinite wave: hard IC + free-surface enforcement (bc="hard")
+# ---------------------------------------------------------------------------
+
+def test_semi_hard_bc_zero_sets_and_equivalence():
+    from pinn_elastodynamics_tpu.cases import wave_semi_infinite as ws
+
+    model = ws.build_model(jet_impl="xla", bc="hard")
+    params = model.init(jax.random.PRNGKey(6))
+    n = 60
+    rng = np.random.default_rng(4)
+    xs = rng.uniform(-15, 15, n).astype(np.float32)
+    ts = rng.uniform(0, 16, n).astype(np.float32)
+
+    # Free surface y=15: s22 = s12 = 0 for a RANDOM net.
+    up = np.stack([xs, 0 * xs + 15.0, ts], 1)
+    f_up = np.asarray(model.apply(params, up))
+    assert np.allclose(f_up[:, 5:7], 0.0, atol=1e-6)
+
+    # Every channel zero at t=0; du/dt = dv/dt = 0 at t=0.
+    ic = np.stack([xs, xs[::-1], 0 * ts], 1)
+    assert np.allclose(np.asarray(model.apply(params, ic)), 0.0, atol=1e-6)
+    jet = model.jet(params, jnp.asarray(ic), order=1)
+    assert np.allclose(np.asarray(jet.dt[:, :2]), 0.0, atol=1e-6)
+
+    # Soft-spec loss of the hard model: IC and NB exactly zero.
+    case_h = ws.build(scale=0.003, pad_to_multiple_of=8, jet_impl="xla",
+                      bc="hard")
+    p = case_h.init_params(seed=0)
+    soft = ws.main_loss("soft")
+    hard = ws.main_loss("hard")
+    lh, _ = hard.evaluate(case_h.model, p, case_h.material, case_h.banks)
+    ls, comps = soft.evaluate(case_h.model, p, case_h.material, case_h.banks)
+    assert float(comps["IC"]) < 1e-10
+    assert float(comps["NB"]) < 1e-10
+    np.testing.assert_allclose(float(lh), float(ls), rtol=1e-6)
+
+
+def test_semi_hard_case_trains():
+    from pinn_elastodynamics_tpu.cases import wave_semi_infinite as ws
+    from pinn_elastodynamics_tpu.cases.base import _phase_loss_fn
+    from pinn_elastodynamics_tpu.train.lbfgs import minimize
+
+    case = ws.build(scale=0.003, pad_to_multiple_of=8, jet_impl="xla",
+                    bc="hard")
+    params = case.init_params(seed=0)
+    fn, sub, merge = _phase_loss_fn(case, case.phases[0], params)
+    f0 = float(fn(sub))
+    res = minimize(fn, sub, maxiter=40, segment=20, patience=100)
+    assert float(res.final_loss) < 0.8 * f0
