@@ -1,5 +1,5 @@
 #!/bin/bash
-# Round-3 TPU queue, take 4.  Changes vs take 3:
+# Round-3 TPU queue, take 4 (amended: semi slot trains bc=hard).  Changes vs take 3:
 #   * plate slot runs the ANALYTIC hard-BC composite (bc=analytic): exact
 #     closed-form D/P + Fourier uv — CPU A/B at equal budget: loss 3.84 vs
 #     8.45 for the net-BC composite with the f64 pretrain (2.2x lower)
@@ -55,7 +55,7 @@ while [ "$(date +%s)" -lt "$(( SEMI_END - 600 ))" ]; do
   timeout $(( SEMI_END - $(date +%s) + 60 )) \
     python scripts/train_wave.py --case wave_semi_infinite \
       --out runs/wave_semi_fourier --fourier 64 --fourier-scale 1.0 \
-      --stages 8:12000 16:15000 --adam 3000 --log-every 250
+      --bc hard --stages 8:12000 16:15000 --adam 3000 --log-every 250
   rc=$?
   echo "semi_fourier rc=$rc"
   [ $rc -eq 0 ] && break

@@ -58,6 +58,11 @@ def main():
                     help="random-Fourier-feature count on the uv net "
                          "(builder knob; 0 = plain MLP)")
     ap.add_argument("--fourier-scale", type=float, default=1.0)
+    ap.add_argument("--bc", default=None, choices=("soft", "hard"),
+                    help="confined/semi: 'hard' = analytic hard enforcement "
+                         "of edge/IC/free-surface conditions "
+                         "(models/analytic_bc.py); IC/FIX/NB terms drop "
+                         "from the loss spec as exactly zero")
     args = ap.parse_args()
 
     import importlib
@@ -91,6 +96,8 @@ def main():
     if args.fourier:
         builder_kwargs.update(fourier=args.fourier,
                               fourier_scale=args.fourier_scale)
+    if args.bc is not None:
+        builder_kwargs["bc"] = args.bc
     params, summaries = run_time_curriculum(
         mod.build, stages, params=params, seed=args.seed,
         checkpoint_dir=args.out, resume=True, log_every=args.log_every,
