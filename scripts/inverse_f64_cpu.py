@@ -1,0 +1,143 @@
+"""Pure-float64 CPU probe of the inverse-problem rho bias.
+
+The f32 polish floors at loss ~4e-3 with rho biased 4.6% in every
+sensitivity variant, and even the host-f64 engine keeps f32 *device
+gradients* (train/lbfgs_host.py) — so neither run can distinguish the two
+hypotheses:
+
+  (a) precision artifact: the joint valley continues below the f32
+      resolution floor and rho -> 1.0 further down it;
+  (b) systematic: the FEM sensor fields and the PDE residual disagree at
+      the discretization level (or the net's acceleration is biased), and
+      the true minimum of THIS objective sits at rho != 1.
+
+This runs the exact objective in honest float64 end-to-end on CPU (value
+AND gradient), warm-started from the f32/host endgame checkpoint.  If f64
+descends well below 4e-3 and rho stays ~4.6% off, (b) is established and
+the residual bias is a property of the objective, not the optimizer.
+Ground truth E=2.5, rho=1.0
+(/root/reference/ElasticWaveConfined/ElasticWave.py:33-35).
+
+Usage:
+  python scripts/inverse_f64_cpu.py [--out runs/inverse] [--minutes 90]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="runs/inverse")
+    ap.add_argument("--minutes", type=float, default=90.0)
+    ap.add_argument("--scale", type=float, default=0.25)
+    ap.add_argument("--block", type=int, default=200)
+    ap.add_argument("--segment", type=int, default=50)
+    ap.add_argument("--patience", type=int, default=400)
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pinn_elastodynamics_tpu.cases.inverse import build
+    from pinn_elastodynamics_tpu.train.checkpoint import (
+        load_checkpoint,
+        save_checkpoint,
+    )
+    from pinn_elastodynamics_tpu.train.lbfgs import minimize
+
+    mfile = open(os.path.join(args.out, "f64_cpu_metrics.jsonl"), "a")
+
+    def log(rec):
+        rec["t"] = round(time.time(), 1)
+        mfile.write(json.dumps(rec) + "\n")
+        mfile.flush()
+        print(rec, flush=True)
+
+    prob, banks = build(scale=args.scale, seed=1111, pad_to_multiple_of=8,
+                        dtype=np.float64)
+
+    ck_in = None
+    for name in ("f64_cpu.ckpt", "inverse_host.ckpt", "inverse.ckpt"):
+        p = os.path.join(args.out, name)
+        if os.path.exists(p):
+            ck_in = p
+            break
+    state = load_checkpoint(ck_in, jnp.float64)
+    params = state["params"]
+    # Only resume curvature memory produced by THIS engine: an f32-era carry
+    # cast to f64 carries f32 gradient noise into the two-loop recursion.
+    resume_carry = (state.get("carry")
+                    if ck_in.endswith("f64_cpu.ckpt") else None)
+    log({"event": "start", "from": ck_in, "scale": args.scale,
+        "resumed_carry": resume_carry is not None,
+         "minutes": args.minutes})
+
+    fn = prob.loss_fn(banks)
+
+    def em(p):
+        return float(jnp.exp(p["log_E"])), float(jnp.exp(p["log_rho"]))
+
+    def errs(p):
+        E, rho = em(p)
+        return abs(E - 2.5) / 2.5 * 100, abs(rho - 1.0) * 100
+
+    t_end = time.time() + args.minutes * 60
+    t0 = time.perf_counter()
+    f0 = float(fn(params))
+    e0, r0 = errs(params)
+    log({"event": "baseline", "loss": f0, "E_err_pct": round(e0, 4),
+         "rho_err_pct": round(r0, 4),
+         "first_eval_s": round(time.perf_counter() - t0, 1)})
+
+    carry, total, best = resume_carry, int(state.get("iters", 0)), f0
+    ck_out = os.path.join(args.out, "f64_cpu.ckpt")
+    while time.time() < t_end:
+        res = minimize(fn, params, maxiter=args.block, segment=args.segment,
+                       init_carry=carry, patience=args.patience)
+        params, carry = res.params, res.carry
+        total += res.n_iters
+        f_now = float(res.final_loss)
+        e_err, r_err = errs(params)
+        log({"event": "block", "iters": total, "loss": f_now,
+             "E_err_pct": round(e_err, 4), "rho_err_pct": round(r_err, 4)})
+        if f_now < best:
+            best = f_now
+            save_checkpoint(ck_out, {"params": params, "loss": best,
+                                     "iters": total, "carry": carry})
+        if res.n_iters < args.block:
+            log({"event": "converged_or_patience", "iters": total})
+            break
+
+    E, rho = em(params)
+    e_err, r_err = errs(params)
+    verdict = ("precision: rho moved toward 1.0 under honest f64"
+               if r_err < r0 - 0.5 else
+               "systematic: f64 descent does not remove the rho bias")
+    log({"event": "done", "loss": best, "iters": total, "E": E, "rho": rho,
+         "E_err_pct": round(e_err, 4), "rho_err_pct": round(r_err, 4),
+         "verdict": verdict})
+
+    rec_path = os.path.join(args.out, "recovery.json")
+    rec = json.load(open(rec_path)) if os.path.exists(rec_path) else {}
+    rec["f64_cpu_probe"] = {
+        "loss": best, "iters": total, "E": E, "rho": rho,
+        "E_err_pct": e_err, "rho_err_pct": r_err, "verdict": verdict,
+        "start_loss": f0, "start_rho_err_pct": r0,
+    }
+    with open(rec_path, "w") as f:
+        json.dump(rec, f, indent=2)
+    mfile.close()
+
+
+if __name__ == "__main__":
+    main()
