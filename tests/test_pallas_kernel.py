@@ -83,29 +83,44 @@ def test_fused_composite_matches_jet_algebra():
 
 
 def test_fused_composite_order1_normalized():
+    """The kernel's lb/ub path == XLA jet of per-net normalized MLPs; and
+    CompositeFieldModel(normalize=True) without Fourier is a documented
+    no-op (dist/part — and the plain uv net — always see raw coordinates,
+    models/fields.py::_sub), so its jet equals the kernel WITHOUT lb/ub."""
     from pinn_elastodynamics_tpu.kernels.fused_jet import fused_composite_jet
     from pinn_elastodynamics_tpu.models.fields import (
         FIRST_ORDER,
         CompositeFieldModel,
         FieldSpec,
+        MLPFieldModel,
     )
 
-    model = CompositeFieldModel(
-        spec=FieldSpec(ndim=2, formulation=FIRST_ORDER),
-        uv_hidden=(40,) * 2,
-        dist_hidden=(16,) * 2,
-        part_hidden=(16,) * 2,
-        normalize=True,
-        lb=(0.0, 0.0, 0.0),
-        ub=(30.0, 30.0, 20.0),
-    )
-    params = model.init(jax.random.PRNGKey(9))
+    spec = FieldSpec(ndim=2, formulation=FIRST_ORDER)
+    lb, ub = (0.0, 0.0, 0.0), (30.0, 30.0, 20.0)
+    hidden = {"uv": (40,) * 2, "dist": (16,) * 2, "part": (16,) * 2}
+    nets = {k: MLPFieldModel(spec=spec, hidden=h, normalize=True,
+                             lb=lb, ub=ub) for k, h in hidden.items()}
+    key = jax.random.PRNGKey(9)
+    params = {k: m.init(k2) for (k, m), k2 in
+              zip(nets.items(), jax.random.split(key, 3))}
     x = jax.random.uniform(jax.random.PRNGKey(10), (150, 3), jnp.float32) * 20
-    ref = model.jet(params, x)
+
+    ref = (nets["part"].jet(params["part"], x, order=1)
+           + nets["dist"].jet(params["dist"], x, order=1)
+           * nets["uv"].jet(params["uv"], x, order=1))
     ker = fused_composite_jet(
-        params, x, order=1, lb=model.lb, ub=model.ub, block=64,
-        interpret=True,
+        params, x, order=1, lb=lb, ub=ub, block=64, interpret=True,
     )
     np.testing.assert_allclose(ker.f, ref.f, atol=3e-6)
     np.testing.assert_allclose(ker.d, ref.d, atol=3e-6)
     assert ker.dtt is None
+
+    # normalize=True on a plain (non-Fourier) composite is a no-op.
+    model = CompositeFieldModel(
+        spec=spec, uv_hidden=hidden["uv"], dist_hidden=hidden["dist"],
+        part_hidden=hidden["part"], normalize=True, lb=lb, ub=ub,
+    )
+    raw = fused_composite_jet(params, x, order=1, block=64, interpret=True)
+    mj = model.jet(params, x)
+    np.testing.assert_allclose(np.asarray(mj.f), np.asarray(raw.f), atol=3e-6)
+    np.testing.assert_allclose(np.asarray(mj.d), np.asarray(raw.d), atol=3e-6)
