@@ -32,6 +32,9 @@ def main():
 
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_enable_x64", True)
+    from pinn_elastodynamics_tpu.utils.cpucache import enable_cpu_compile_cache
+
+    enable_cpu_compile_cache(jax)
     import jax.numpy as jnp
     import numpy as np
 

@@ -14,6 +14,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+from pinn_elastodynamics_tpu.utils.cpucache import enable_cpu_compile_cache  # noqa: E402
+
+enable_cpu_compile_cache(jax)
 
 import jax.numpy as jnp  # noqa: E402
 

@@ -31,6 +31,9 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+from pinn_elastodynamics_tpu.utils.cpucache import enable_cpu_compile_cache  # noqa: E402
+
+enable_cpu_compile_cache(jax)
 
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
