@@ -46,6 +46,36 @@ def _build(scale: float, jet_impl: str = "auto"):
     return case, scalar_loss, params, n_col
 
 
+# Peak dense-matmul throughput used as the MFU denominator, keyed on the
+# device kind. v5e (reported as "TPU v5 lite"): 197 TFLOP/s bf16.  Training
+# runs f32 with precision=HIGHEST (≈6 bf16 MXU passes per f32 product), so
+# MFU against the bf16 peak is a strict undercount of the achievable-f32
+# utilization — it is the standard denominator and tracked for trend, not
+# absolutes (VERDICT r3 next-step #8).
+_PEAK_TFLOPS = {"TPU v5 lite": 197.0, "TPU v5e": 197.0}
+
+
+def _peak_tflops(device) -> float | None:
+    kind = getattr(device, "device_kind", str(device))
+    for k, v in _PEAK_TFLOPS.items():
+        if k in kind or k in str(device):
+            return v
+    return None
+
+
+def _flops_per_step(scalar_loss, params, banks) -> float | None:
+    """XLA's FLOP estimate for one value+grad step (the L-BFGS work unit)."""
+    try:
+        vg = jax.jit(jax.value_and_grad(scalar_loss))
+        cost = vg.lower(params, banks).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0] if cost else {}
+        f = float(cost.get("flops", 0.0))
+        return f if f > 0 else None
+    except Exception:
+        return None
+
+
 def _rate_blocked(scalar_loss, params, banks, n_col, iters):
     vg = jax.jit(jax.value_and_grad(scalar_loss))
     jax.block_until_ready(vg(params, banks))
@@ -280,6 +310,10 @@ def main():
     rate, step_s = _rate_blocked(
         scalar_loss, params, banks, n_col, args.blocked_iters
     )
+    flops_step = _flops_per_step(scalar_loss, params, banks)
+    peak = _peak_tflops(dev)
+    tflops = flops_step / step_s / 1e12 if flops_step else None
+    mfu = tflops / peak if (tflops and peak) else None
     uv_rate = None
     try:
         uv_rate = _uv_phase_rate(case, params, n_col)
@@ -341,6 +375,13 @@ def main():
         "device": str(dev),
         "n_collocation": n_col,
         "step_seconds": round(step_s, 6),
+        "flops_per_step": flops_step,
+        "flops_per_eval": (
+            round(flops_step / n_col, 1) if flops_step else None
+        ),
+        "tflops_sustained": round(tflops, 3) if tflops else None,
+        "mfu": round(mfu, 4) if mfu else None,
+        "mfu_peak_tflops_bf16": peak,
         "uv_phase_evals_per_sec": round(uv_rate, 1) if uv_rate else None,
         "composite_fwd_evals_per_sec": (
             round(comp_rate, 1) if comp_rate else None

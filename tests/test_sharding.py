@@ -89,6 +89,51 @@ def test_sharded_train_step_runs(mesh8):
     assert set(comps1) == {"f_uv", "f_s", "HOLE"}
 
 
+def test_sharded_value_and_grad_hlo_has_no_all_gather(mesh8):
+    """Pin the r3 work-replication fix (models/mlp.py::_stacked_matmul).
+
+    Loss/grad *equality* tests cannot distinguish sharded from replicated
+    execution: GSPMD all-gathering the banks and redoing the full
+    computation on every device yields identical numbers (the r3 n²
+    weak-scaling bug rooted at a K-major reshape).  This asserts the
+    compiled artifact itself: the optimized HLO of the sharded value+grad
+    must contain zero all-gathers, and the per-device FLOP count must be a
+    fraction of the single-device compile's (work actually partitioned).
+    """
+    case = wave_confined.build(scale=SCALE, pad_to_multiple_of=8)
+    params = case.init_params(seed=7)
+    loss_fn = make_loss_fn(case.model, case.loss, case.material)
+
+    def scalar(p, b):
+        t, _ = loss_fn(p, b)
+        return t
+
+    vg = jax.jit(jax.value_and_grad(scalar))
+    single = vg.lower(params, case.banks).compile()
+    banks_sh = pmesh.shard_banks(case.banks, mesh8)
+    params_r = pmesh.replicate(params, mesh8)
+    sharded = vg.lower(params_r, banks_sh).compile()
+
+    hlo = sharded.as_text()
+    n_all_gather = hlo.count("all-gather")
+    assert n_all_gather == 0, (
+        f"{n_all_gather} all-gather op(s) in the sharded value+grad HLO — "
+        "the K-major reshape work-replication bug is back"
+    )
+    # Collectives should be reductions only (psum of masked sums / grads).
+    assert "all-reduce" in hlo
+
+    cost_s = single.cost_analysis()
+    cost_m = sharded.cost_analysis()
+    if cost_s and cost_m and cost_s.get("flops") and cost_m.get("flops"):
+        # Per-device work must shrink roughly ∝ 1/n_devices; anything above
+        # half the single-device FLOPs means replicated execution.
+        assert cost_m["flops"] < 0.5 * cost_s["flops"], (
+            f"sharded per-device flops {cost_m['flops']:.3g} vs single "
+            f"{cost_s['flops']:.3g}: work not partitioned"
+        )
+
+
 def test_microbatched_loss_matches_full(mesh8):
     """Gradient-accumulation loss == full-batch loss (1M+ point path)."""
     case = wave_confined.build(scale=SCALE, pad_to_multiple_of=8)
