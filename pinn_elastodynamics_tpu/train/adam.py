@@ -86,18 +86,31 @@ def run_adam(
     if opt_state is None:
         opt_state = _make_opt(learning_rate).init(params)
 
+    from ..utils import compileguard
+
     histories = []
     done = 0
     while done < iters:
         seg = min(segment, iters - done)
-        params, opt_state, hist = _scan_segment(
-            loss_and_aux_fn, params, opt_state, learning_rate, seg,
-            log_every, done,
-        )
-        histories.append(jax.tree.map(np.asarray, hist))
+        if done == 0:
+            # First dispatch carries the scan compile; bound it against the
+            # erratic axon remote-compile hang (PINN_COMPILE_DEADLINE).
+            with compileguard.guard("adam scan segment compile"):
+                params, opt_state, hist = _scan_segment(
+                    loss_and_aux_fn, params, opt_state, learning_rate, seg,
+                    log_every, done,
+                )
+                hist = jax.tree.map(np.asarray, hist)
+        else:
+            params, opt_state, hist = _scan_segment(
+                loss_and_aux_fn, params, opt_state, learning_rate, seg,
+                log_every, done,
+            )
+            hist = jax.tree.map(np.asarray, hist)
+        histories.append(hist)
         done += seg
         if on_segment is not None:
-            on_segment(done, params, opt_state, histories[-1])
+            on_segment(done, params, opt_state, hist)
     history = {
         k: np.concatenate([h[k] for h in histories])
         for k in histories[0]

@@ -30,6 +30,8 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
+from ..utils import compileguard
+
 
 @dataclasses.dataclass(frozen=True)
 class LBFGSStatic:
@@ -165,7 +167,9 @@ def minimize(
         opt = _make_opt(cfg)
         # jit the seed evaluation: op-by-op execution would ignore remat
         # boundaries and exhaust HBM on 1M+ point losses.
-        f0, _ = jax.jit(jax.value_and_grad(loss_fn))(params)
+        with compileguard.guard("lbfgs seed value_and_grad compile"):
+            f0, _ = jax.jit(jax.value_and_grad(loss_fn))(params)
+            jax.block_until_ready(f0)
         carry = (
             params, opt.init(params), f0,
             jnp.asarray(0, jnp.int32), jnp.asarray(False),
@@ -177,11 +181,24 @@ def minimize(
     histories = []
     k_total = 0
     k_logged = 0
+    first_dispatch = True
     while k_total < maxiter:
-        carry, k_seg, hist = _run_segment(
-            loss_fn, carry, cfg, ftol, gtol, target
-        )
-        k_seg = int(k_seg)
+        if first_dispatch:
+            # The first segment dispatch carries the while_loop compile —
+            # the graph whose remote-compile latency is erratic (68 s to
+            # >31 min for identical graphs).  Bound it so a hung compile
+            # costs a bounded retry, not the slot (PINN_COMPILE_DEADLINE).
+            with compileguard.guard("lbfgs segment while_loop compile"):
+                carry, k_seg, hist = _run_segment(
+                    loss_fn, carry, cfg, ftol, gtol, target
+                )
+                k_seg = int(k_seg)
+            first_dispatch = False
+        else:
+            carry, k_seg, hist = _run_segment(
+                loss_fn, carry, cfg, ftol, gtol, target
+            )
+            k_seg = int(k_seg)
         hist = np.asarray(hist[:k_seg])
         histories.append(hist)
         k_total += k_seg

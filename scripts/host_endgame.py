@@ -95,8 +95,13 @@ def main():
         x0 = np.asarray(raw["x64_flat"], np.float64)
         print(f"resuming from x64_flat (f64, {x0.size} params)", flush=True)
 
+    from pinn_elastodynamics_tpu.utils import compileguard
+
     t0 = time.perf_counter()
-    f0, g0 = host_vg(x0)
+    # First eval carries the chunk-sum value+grad compile; bound it against
+    # the erratic axon remote-compile hang (PINN_COMPILE_DEADLINE env var).
+    with compileguard.guard("host-engine value+grad compile"):
+        f0, g0 = host_vg(x0)
     log({"event": "start", "loss": f0, "grad_norm": float(np.linalg.norm(g0)),
          "first_eval_s": round(time.perf_counter() - t0, 1),
          "n_params": int(x0.size), "hours": args.hours})
