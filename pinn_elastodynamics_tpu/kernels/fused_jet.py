@@ -32,6 +32,26 @@ from ..ops.jet import Jet
 
 LANE = 128
 
+# Matmul precision inside the kernels.  HIGHEST (full-f32 passes) is the
+# production default: bf16-pass derivative noise breaks strong-Wolfe line
+# searches (docs/ARCHITECTURE.md precision table).  The env knob exists for
+# controlled experiments (scripts/mfu_experiment.py): HIGH = 3 bf16 passes
+# (~2x MXU throughput vs HIGHEST's 6), DEFAULT = 1 pass.  Read at TRACE
+# time — set it before the process first compiles; it is per-process, not
+# per-call.
+_PRECISIONS = {
+    "default": jax.lax.Precision.DEFAULT,
+    "high": jax.lax.Precision.HIGH,
+    "highest": jax.lax.Precision.HIGHEST,
+}
+
+
+def kernel_precision() -> jax.lax.Precision:
+    import os
+
+    return _PRECISIONS[
+        os.environ.get("PINN_KERNEL_PRECISION", "highest").lower()]
+
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
@@ -69,7 +89,7 @@ def _run_layers(s, w_ref, b_ref, *, n_layers: int, n_streams: int,
     """
     for l in range(n_layers):
         z = jnp.dot(s, w_ref[l], preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST)
+                    precision=kernel_precision())
         if l == n_layers - 1:
             # Linear head: bias on the value rows only.  (Slice+concat —
             # scatter-add doesn't lower in Pallas TPU.)

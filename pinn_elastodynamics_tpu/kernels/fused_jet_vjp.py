@@ -34,7 +34,13 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.jet import Jet
-from .fused_jet import LANE, _round_up, fused_jet, pack_params
+from .fused_jet import (
+    LANE,
+    _round_up,
+    fused_jet,
+    kernel_precision,
+    pack_params,
+)
 
 
 # ---------------------------------------------------------------------------
@@ -49,7 +55,7 @@ def _remat_forward(s, w_ref, b_ref, s_scratch, *, n_layers: int,
     s_scratch[0] = s
     for l in range(n_layers - 1):
         z = jnp.dot(s, w_ref[l], preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST)
+                    precision=kernel_precision())
         zv = z[0:block, :] + b_ref[l][None, :]
         h = jnp.tanh(zv)
         g = 1.0 - h * h
@@ -73,11 +79,11 @@ def _reverse_sweep(c, w_ref, b_ref, s_scratch, dw_ref, db_ref, *,
     s_last = s_scratch[n_layers - 1]
     dw_ref[n_layers - 1] += jnp.dot(
         s_last.T, c, preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=kernel_precision(),
     )
     db_ref[n_layers - 1] += jnp.sum(c[0:block, :], axis=0)
     c = jnp.dot(c, w_ref[n_layers - 1].T, preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)
+                precision=kernel_precision())
 
     for l in range(n_layers - 2, -1, -1):
         s_in = s_scratch[l]
@@ -87,7 +93,7 @@ def _reverse_sweep(c, w_ref, b_ref, s_scratch, dw_ref, db_ref, *,
         # Recompute this layer's pre-activation tangent/dtt streams.
         z_rest = jnp.dot(
             s_in[block:, :], w_ref[l], preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=kernel_precision(),
         )                                        # ((S-1)*B, P)
         n_tan = n_streams - 1 - (1 if order >= 2 else 0)
 
@@ -116,11 +122,11 @@ def _reverse_sweep(c, w_ref, b_ref, s_scratch, dw_ref, db_ref, *,
 
         dw_ref[l] += jnp.dot(
             s_in.T, c_stack, preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=kernel_precision(),
         )
         db_ref[l] += jnp.sum(c0, axis=0)
         c = jnp.dot(c_stack, w_ref[l].T, preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST)
+                    precision=kernel_precision())
     return c
 
 
@@ -469,7 +475,7 @@ def _final_out(scr, w_ref, b_ref, n_layers, block):
     (the linear head; bias on the value rows only)."""
     z = jnp.dot(scr[n_layers - 1], w_ref[n_layers - 1],
                 preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)
+                precision=kernel_precision())
     zv = z[0:block, :] + b_ref[n_layers - 1][None, :]
     return jnp.concatenate([zv, z[block:, :]], axis=0)
 
