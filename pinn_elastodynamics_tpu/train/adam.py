@@ -30,10 +30,8 @@ def _make_opt(learning_rate):
     return optax.inject_hyperparams(optax.adam)(learning_rate=learning_rate)
 
 
-@partial(jax.jit, static_argnames=("loss_and_aux_fn", "iters", "log_every"))
-def _scan_segment(
-    loss_and_aux_fn, params, opt_state, learning_rate, iters, log_every, k0
-):
+@partial(jax.jit, static_argnames=("loss_and_aux_fn", "iters"))
+def _scan_segment(loss_and_aux_fn, params, opt_state, learning_rate, iters):
     opt = _make_opt(learning_rate)
     opt_state = optax.tree.set(opt_state, learning_rate=learning_rate)
     grad_fn = jax.value_and_grad(loss_and_aux_fn, has_aux=True)
@@ -43,14 +41,6 @@ def _scan_segment(
         (loss, aux), grads = grad_fn(params)
         updates, opt_state = opt.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
-        if log_every:
-            jax.lax.cond(
-                ((k0 + k) % log_every) == 0,
-                lambda: jax.debug.print(
-                    "adam it {k}: loss {l}", k=k0 + k, l=loss, ordered=False
-                ),
-                lambda: None,
-            )
         rec = {"loss": loss}
         rec.update({k_: jnp.asarray(v) for k_, v in aux.items()})
         return (params, opt_state), rec
@@ -98,17 +88,22 @@ def run_adam(
             with compileguard.guard("adam scan segment compile"):
                 params, opt_state, hist = _scan_segment(
                     loss_and_aux_fn, params, opt_state, learning_rate, seg,
-                    log_every, done,
                 )
                 hist = jax.tree.map(np.asarray, hist)
         else:
             params, opt_state, hist = _scan_segment(
                 loss_and_aux_fn, params, opt_state, learning_rate, seg,
-                log_every, done,
             )
             hist = jax.tree.map(np.asarray, hist)
         histories.append(hist)
         done += seg
+        # Host-side progress log at segment boundaries: jax.debug.print
+        # inside the scan is an io_callback, which the axon PJRT backend
+        # rejects (UNIMPLEMENTED: host send/recv callbacks) — r4 slot-B
+        # crash.  Segment-boundary logging costs nothing extra.
+        if log_every and (done % log_every < seg or seg >= log_every):
+            print(f"adam it {done}: loss {float(hist['loss'][-1]):.6g}",
+                  flush=True)
         if on_segment is not None:
             on_segment(done, params, opt_state, hist)
     history = {
