@@ -43,8 +43,31 @@ def main():
          wave_semi_infinite, {"max_t": 16.0}, [8, 16, 24, 32, 48]),
         ("runs/wave_confined", "host_best.ckpt", wave_confined,
          {"max_t": 14.0}, [6, 12, 18, 24, 40]),
+        # r4 structural-lever runs (first existing checkpoint wins:
+        # endgame output > curriculum final > last stage > live).
+        ("runs/plate_analytic",
+         ("hybrid_best.ckpt", "best.ckpt"), plate_hole,
+         {"fourier": 64, "fourier_scale": 2.0, "bc": "analytic"},
+         [10, 20, 30, 50, 60, 70]),
+        ("runs/wave_semi_fourier",
+         ("wave_semi_infinite_final.ckpt", "stage_1_T16.ckpt",
+          "stage_1_live.ckpt", "stage_0_T8.ckpt", "stage_0_live.ckpt"),
+         wave_semi_infinite,
+         {"max_t": 16.0, "fourier": 64, "fourier_scale": 1.0, "bc": "hard"},
+         [8, 16, 24, 32, 48]),
+        ("runs/wave_confined_fourier",
+         ("wave_confined_final.ckpt", "stage_1_T14.ckpt",
+          "stage_1_live.ckpt", "stage_0_T7.ckpt", "stage_0_live.ckpt"),
+         wave_confined,
+         {"max_t": 14.0, "fourier": 64, "fourier_scale": 1.0, "bc": "hard"},
+         [6, 12, 18, 24, 40]),
     ]
     for run_dir, ck, mod, kwargs, frames in jobs:
+        if isinstance(ck, tuple):
+            ck = next(
+                (c for c in ck
+                 if os.path.exists(os.path.join(run_dir, c))), ck[-1]
+            )
         path = os.path.join(run_dir, ck)
         if not os.path.exists(path):
             print(f"skip {path} (absent)")
