@@ -31,6 +31,12 @@ class Stage:
     # Stop the stage early once the loss reaches this (e.g. the reference
     # pickle's own loss on the same banks — the convergence bar).
     target: float = -float("inf")
+    # Flat-step patience for the stage's L-BFGS (consecutive zero-decrease
+    # steps before stopping).  minimize()'s default of 5 reads an f32
+    # line-search storm as convergence: the r4 semi hard+Fourier stage-0
+    # "completed" at 506/12000 iters, loss 5e-3.  100 matches the plate
+    # driver (scripts/plate_fourier.py) and rides the storms out.
+    patience: int = 100
 
 
 def run_time_curriculum(
@@ -115,7 +121,7 @@ def run_time_curriculum(
                 maxiter=stage.maxiter - done_iters, log_every=log_every,
                 init_carry=init_carry,
                 on_segment=on_segment if live_path else None,
-                target=stage.target,
+                target=stage.target, patience=stage.patience,
             )
             params = res.params
             final_loss = float(res.final_loss)
