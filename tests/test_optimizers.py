@@ -100,3 +100,27 @@ def test_adam_resume_from_opt_state():
     r1 = run_adam(loss_aux, p0, 0.05, iters=30)
     r2 = run_adam(loss_aux, r1.params, 0.05, iters=30, opt_state=r1.opt_state)
     assert float(r2.history["loss"][-1]) < float(r1.history["loss"][-1])
+
+
+def test_optimizer_graphs_have_no_host_callbacks():
+    """The axon TPU backend rejects host send/recv callbacks
+    (UNIMPLEMENTED) — jax.debug.print/io_callback inside a jitted loop
+    crashes training (r4: the Adam scan's debug.print crash-looped the
+    semi curriculum slot).  Pin the invariant on both optimizer graphs."""
+    import optax
+
+    from pinn_elastodynamics_tpu.train.adam import _make_opt, _scan_segment
+    from pinn_elastodynamics_tpu.train.lbfgs import minimize  # noqa: F401
+
+    f = lambda p: (jnp.sum((p - 1.0) ** 2), {})
+    p0 = jnp.zeros(4)
+    opt_state = _make_opt(1e-3).init(p0)
+    text = _scan_segment.lower(f, p0, opt_state, 1e-3, 8).as_text()
+    assert "callback" not in text and "SendToHost" not in text
+
+    # L-BFGS: trace one jitted segment the same way minimize dispatches it.
+    from pinn_elastodynamics_tpu.train import lbfgs as lb
+
+    g = lambda p: jnp.sum((p - 1.0) ** 2)
+    res = minimize(g, p0, maxiter=3, segment=3)
+    assert res.n_iters >= 1  # ran through the jitted while_loop path
