@@ -37,6 +37,18 @@ class Stage:
     # "completed" at 506/12000 iters, loss 5e-3.  100 matches the plate
     # driver (scripts/plate_fourier.py) and rides the storms out.
     patience: int = 100
+    # Device iterations per jitted while_loop dispatch.  A zoom storm turns
+    # each iteration into up to max_linesearch_steps (50) full-batch evals,
+    # so a 100-iter segment becomes a multi-minute monolithic device
+    # execution and trips the TPU watchdog ("TPU worker crashed" — the r4
+    # semi hard+Fourier crash loop).  25 is the plate driver's proven value
+    # (scripts/plate_fourier.py): a fault costs <1 min of work.
+    segment: int = 25
+    # Cold starts and mid-storm resumes are the storm-prone regimes; warm
+    # up with extra-short segments before stretching (plate_fourier.py /
+    # hybrid_endgame.py pattern).
+    warmup_iters: int = 100
+    warmup_segment: int = 10
 
 
 def run_time_curriculum(
@@ -101,13 +113,6 @@ def run_time_curriculum(
             )
             params = ar.params
 
-        def on_segment(it, p, hist, *, carry=None, _live=live_path,
-                       _base=done_iters):
-            if _live is not None:
-                save_checkpoint(_live, {
-                    "params": p, "iters": _base + it, "lbfgs_carry": carry,
-                })
-
         if done_iters >= stage.maxiter:
             # The live checkpoint already reached the stage budget; don't
             # force extra iterations — score the checkpointed params as-is.
@@ -116,16 +121,44 @@ def run_time_curriculum(
             final_loss = float(jax.jit(case.loss_fn(case.loss))(params))
             iters_total = done_iters
         else:
-            res = minimize(
-                case.loss_fn(case.loss), params,
-                maxiter=stage.maxiter - done_iters, log_every=log_every,
-                init_carry=init_carry,
-                on_segment=on_segment if live_path else None,
-                target=stage.target, patience=stage.patience,
-            )
-            params = res.params
-            final_loss = float(res.final_loss)
-            iters_total = int(res.n_iters) + done_iters
+            # Chain a short-segment warmup block into the production block.
+            # Both cold starts and mid-storm resumes run zoom storms where
+            # one iteration costs up to 50 full-batch evals; short segments
+            # keep each device execution under the TPU watchdog.
+            loss = case.loss_fn(case.loss)
+            remaining = stage.maxiter - done_iters
+            blocks = []
+            if stage.warmup_iters and remaining > 0:
+                n = min(stage.warmup_iters, remaining)
+                blocks.append((n, stage.warmup_segment))
+                remaining -= n
+            if remaining > 0:
+                blocks.append((remaining, stage.segment))
+
+            carry = init_carry
+            iters_total = done_iters
+            final_loss = None
+            for n_block, seg in blocks:
+                def on_segment(it, p, hist, *, carry=None, _live=live_path,
+                               _base=iters_total):
+                    if _live is not None:
+                        save_checkpoint(_live, {
+                            "params": p, "iters": _base + it,
+                            "lbfgs_carry": carry,
+                        })
+
+                res = minimize(
+                    loss, params, maxiter=n_block, log_every=log_every,
+                    init_carry=carry, segment=seg,
+                    on_segment=on_segment if live_path else None,
+                    target=stage.target, patience=stage.patience,
+                )
+                params = res.params
+                carry = res.carry
+                final_loss = float(res.final_loss)
+                iters_total += int(res.n_iters)
+                if int(res.n_iters) < n_block:
+                    break  # done: patience / gtol / nonfinite / target
         wall = time.perf_counter() - t0
         summary = {
             "stage": k,
