@@ -48,6 +48,14 @@ def main():
                          "engine is stale")
     ap.add_argument("--host-block", type=int, default=400)
     ap.add_argument("--host-blocks", type=int, default=2)
+    ap.add_argument("--adam-block", type=int, default=4000)
+    ap.add_argument("--escape-rel", type=float, default=1e-3,
+                    help="relative f_best drop per full sprint+drill round "
+                         "below which BOTH engines count as wedged and an "
+                         "Adam escape fires (the round-1 alternating-cycle "
+                         "lever: at moderate loss the zoom search burns ~50 "
+                         "evals per zero step while Adam progresses per "
+                         "single evaluation)")
     ap.add_argument("--host-first", action="store_true",
                     help="start with host-f64 drills (cases already wedged "
                          "for the f32 engine: cold f32 warmups at low loss "
@@ -56,9 +64,17 @@ def main():
     ap.add_argument("--build-kwargs", default=None,
                     help='extra case-builder kwargs as JSON, e.g. '
                          '\'{"fourier": 64, "fourier_scale": 2.0}\'')
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend in-process (the axon "
+                         "sitecustomize ignores JAX_PLATFORMS=cpu) — for "
+                         "de-risk drives while the single-tenant chip is "
+                         "busy")
     args = ap.parse_args()
 
     import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     from jax.flatten_util import ravel_pytree
 
@@ -160,6 +176,7 @@ def main():
         })
 
     while time.time() < t_end and f_best > args.target:
+        f_round0 = f_best
         skip_sprint = args.host_first and first_round
         first_round = False
         if not skip_sprint:
@@ -253,6 +270,49 @@ def main():
                 save_best(f"host_{total_host}")
             if hres.final_loss <= args.target:
                 break
+
+        # ---- Adam escape (third rung) ----
+        # A wedge far above the f32 resolution floor (slot A: loss 0.373)
+        # stalls BOTH gradient-descent engines: the zoom line search fails
+        # along every L-BFGS direction while per-step decreases are still
+        # ~1e-3 relative.  Adam takes a step per single evaluation and
+        # measurably un-wedges (round-1 cycles: 1.49 -> 0.42;
+        # scripts/cycle_driver.py).  Fire it only when the whole
+        # sprint+drill round went stale.
+        rel_round = (f_round0 - f_best) / max(abs(f_round0), 1e-30)
+        if (rel_round < args.escape_rel and time.time() < t_end
+                and f_best > args.target):
+            from pinn_elastodynamics_tpu.train.adam import run_adam
+
+            sub = unravel32(jnp.asarray(np.asarray(x_best, np.float32)))
+            loss_aux = lambda s: (sub_fn(s), {})  # noqa: E731
+            lr = 3e-5 if f_best > 3e-3 else 1e-5
+            try:
+                for _ in range(4):
+                    if time.time() >= t_end:
+                        break
+                    r = run_adam(loss_aux, sub, lr, iters=args.adam_block,
+                                 segment=200)
+                    f_after = float(r.history["loss"][-1])
+                    log({"event": "adam_escape", "lr": lr,
+                         "iters": args.adam_block, "loss_f32": f_after})
+                    f64 = consider(
+                        np.asarray(ravel_pytree(r.params)[0], np.float64),
+                        "adam_escape")
+                    if f64 < f_round0 * (1 - args.escape_rel):
+                        sub = r.params
+                    else:
+                        lr *= 0.3
+                        if lr < 3e-6:
+                            break
+            except Exception as e:
+                log({"event": "adam_fault", "error": repr(e)[:200]})
+                mfile.close()
+                sys.exit(3)
+            # Restart both engines from the (possibly moved) best point
+            # with fresh state: curvature built elsewhere is stale here.
+            x = x_best.copy()
+            host_carry = None
 
     save_best("final")
     log({"event": "done", "loss": f_best, "f32_iters": total_f32,
