@@ -43,6 +43,15 @@ def main():
                          "horizon)")
     ap.add_argument("--chunk", type=int, default=512)
     ap.add_argument("--f32-block", type=int, default=1000)
+    ap.add_argument("--f32-segment", type=int, default=25,
+                    help="device iterations per jitted while_loop dispatch "
+                         "in the production sprint.  50 was watchdog-bait: "
+                         "in a zoom storm one iteration costs up to 50 "
+                         "full-batch evals, and a 50-iter segment became a "
+                         "multi-minute monolithic device execution that "
+                         "kernel-faulted the TPU worker (r4 semi hybrid "
+                         "crash loop, same pathology the curriculum fixed "
+                         "with Stage.segment=25)")
     ap.add_argument("--f32-stale-rel", type=float, default=2e-4,
                     help="relative drop per f32 block below which the f32 "
                          "engine is stale")
@@ -199,11 +208,23 @@ def main():
                     sprint_iters += res.n_iters
                     log({"event": "f32_warmup", "iters": sprint_iters,
                          "loss_f32": float(res.final_loss)})
+                    # Wedge detect: a warmup with ~zero relative decrease
+                    # means the f32 engine cannot certify descent here at
+                    # all — skip the production sprint (it would only burn
+                    # the slot in zoom storms) and hand straight to the
+                    # host-f64 drill.
+                    wrel = ((f_round0 - float(res.final_loss))
+                            / max(abs(f_round0), 1e-30))
+                    if wrel < args.f32_stale_rel:
+                        log({"event": "f32_wedged_skip", "rel_drop": wrel})
+                        x = np.asarray(ravel_pytree(sub)[0], np.float64)
+                        consider(x, "f32_warmup_only")
+                        raise StopIteration  # to the host drill
                 else:
                     log({"event": "f32_carry_resume"})
                 while time.time() < t_end:
                     res = minimize(sub_fn, sub, maxiter=args.f32_block,
-                                   segment=50, init_carry=carry,
+                                   segment=args.f32_segment, init_carry=carry,
                                    patience=100, target=args.target,
                                    on_segment=seg_ckpt)
                     sub, carry = res.params, res.carry
@@ -230,6 +251,8 @@ def main():
                 total_f32 += sprint_iters
                 x = np.asarray(ravel_pytree(sub)[0], np.float64)
                 consider(x, f"f32_sprint_{total_f32}")
+            except StopIteration:
+                total_f32 += sprint_iters  # wedged warmup: fall through
             except Exception as e:
                 # Device fault: the JAX client is dead for this process.  The
                 # block checkpoints above preserved progress; exit and let
