@@ -50,13 +50,15 @@ def main():
          {"fourier": 64, "fourier_scale": 2.0, "bc": "analytic"},
          [10, 20, 30, 50, 60, 70]),
         ("runs/wave_semi_fourier",
-         ("wave_semi_infinite_final.ckpt", "stage_1_T16.ckpt",
+         ("hybrid_best.ckpt",
+          "wave_semi_infinite_final.ckpt", "stage_1_T16.ckpt",
           "stage_1_live.ckpt", "stage_0_T8.ckpt", "stage_0_live.ckpt"),
          wave_semi_infinite,
          {"max_t": 16.0, "fourier": 64, "fourier_scale": 1.0, "bc": "hard"},
          [8, 16, 24, 32, 48]),
         ("runs/wave_confined_fourier",
-         ("wave_confined_final.ckpt", "stage_1_T14.ckpt",
+         ("hybrid_best.ckpt",
+          "wave_confined_final.ckpt", "stage_1_T14.ckpt",
           "stage_1_live.ckpt", "stage_0_T7.ckpt", "stage_0_live.ckpt"),
          wave_confined,
          {"max_t": 14.0, "fourier": 64, "fourier_scale": 1.0, "bc": "hard"},
