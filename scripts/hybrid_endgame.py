@@ -309,9 +309,22 @@ def main():
 
             sub = unravel32(jnp.asarray(np.asarray(x_best, np.float32)))
             loss_aux = lambda s: (sub_fn(s), {})  # noqa: E731
-            lr = 3e-5 if f_best > 3e-3 else 1e-5
+            # LR keyed to the wedge's loss magnitude: a wedge at 0.373
+            # (plate slot A) needs the curriculum-warmup LR scale, not the
+            # endgame one — 3e-5 there moves ~nothing in 4k iters, while
+            # the consider() guard already rejects any LR that overshoots.
+            if f_best > 3e-2:
+                lr = 3e-4
+            elif f_best > 3e-4:
+                lr = 3e-5
+            else:
+                lr = 1e-5
             try:
-                for _ in range(4):
+                # When Adam is the only engine moving (both line-search
+                # engines wedged), the sprint+drill probe between escapes
+                # is pure overhead — stay in the escape while blocks keep
+                # being accepted.
+                for _ in range(10):
                     if time.time() >= t_end:
                         break
                     r = run_adam(loss_aux, sub, lr, iters=args.adam_block,
