@@ -319,6 +319,11 @@ def _flagship_trace_fields():
         wall += e["t"] - prev_t
         prev_t = e["t"]
         loss = e.get("loss")
+        if loss is None:
+            # Hybrid-engine events carry the host-f64-measured loss under
+            # loss_f64 ('measure'/'host_block'); f32-only numbers are not
+            # trusted for the record.
+            loss = e.get("loss_f64")
         if isinstance(loss, (int, float)) and loss < best:
             best = float(loss)
             wall_at_best = wall
