@@ -32,7 +32,7 @@ while [ "$(left)" -gt 600 ]; do
       runs/wave_confined_fourier/hybrid_best.ckpt --case wave_confined \
       --max-t 14 \
       --build-kwargs '{"fourier": 64, "fourier_scale": 1.0, "bc": "hard"}' \
-      --hours "$H" --target 3.8e-5 \
+      --hours "$H" --target 3.8e-5 --f32-segment 8 \
       --metrics runs/wave_confined_fourier/hybrid_metrics.jsonl
   rc=$?; echo "closer rc=$rc"
   git add -A runs/wave_confined_fourier && git commit -q -m "r4 closer: confined hard+Fourier hybrid checkpoint" || true
