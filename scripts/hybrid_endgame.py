@@ -110,27 +110,62 @@ def main():
 
     t_end = time.time() + args.hours * 3600
     # Crash-resume: the axon tunnel/chip faults sporadically under sustained
-    # load (~every 35-40 min observed) and the JAX client cannot recover
-    # in-process.  Resume from our own output checkpoint when present; the
-    # outer shell loop relaunches us until the budget or target is hit.
+    # load.  Round 4's relaunch loops paid a full process restart (~5-7 min
+    # backend init + recompile) per fault; here we first attempt IN-PROCESS
+    # recovery (r4 handoff item 1): probe the device, then (rung A) retry the
+    # existing compiled closures — instant if the fault was a transient
+    # tunnel error and the worker kept its state — and if that faults again
+    # (rung B) rebuild the case/closures in this process, paying the
+    # recompile but not the restart.  Only if both rungs fail do we exit(3)
+    # for the outer relaunch loop.  Resume from our own output checkpoint
+    # when present.
     if os.path.exists(args.ckpt_out):
         args.ckpt_in = args.ckpt_out
     import importlib
 
-    mod = importlib.import_module(
-        f"pinn_elastodynamics_tpu.cases.{args.case}")
-    build_kwargs = dict(scale=1.0, pad_to_multiple_of=8)
-    if args.max_t is not None:
-        build_kwargs["max_t"] = args.max_t
-    if args.build_kwargs:
-        build_kwargs.update(json.loads(args.build_kwargs))
-    case = mod.build(**build_kwargs)
-    phase = case.phases[-1]
-    params = load_checkpoint(args.ckpt_in, jnp.float32)["params"]
-    sub_fn, _sub0, merge = _phase_loss_fn(case, phase, params)
-    host_vg, x0, unravel32 = make_host_phase_vg(
-        case, phase, params, chunk_size=args.chunk
-    )
+    class _Fault(Exception):
+        pass
+
+    def build_problem():
+        """(Re)build the case and all device closures.
+
+        Case builders are seeded/deterministic, so a rebuild after a TPU
+        worker restart reconstructs the identical problem; only the device
+        buffers (banks, frozen sub-nets) are re-uploaded.
+        """
+        mod = importlib.import_module(
+            f"pinn_elastodynamics_tpu.cases.{args.case}")
+        build_kwargs = dict(scale=1.0, pad_to_multiple_of=8)
+        if args.max_t is not None:
+            build_kwargs["max_t"] = args.max_t
+        if args.build_kwargs:
+            build_kwargs.update(json.loads(args.build_kwargs))
+        case = mod.build(**build_kwargs)
+        phase = case.phases[-1]
+        params = load_checkpoint(args.ckpt_in, jnp.float32)["params"]
+        sub_fn, _sub0, merge = _phase_loss_fn(case, phase, params)
+        host_vg, x0, unravel32 = make_host_phase_vg(
+            case, phase, params, chunk_size=args.chunk
+        )
+        return case, phase, params, sub_fn, merge, host_vg, unravel32, x0
+
+    def device_probe(max_tries=4):
+        """Is the device dispatchable again?  Returns probe seconds or None."""
+        for i in range(max_tries):
+            try:
+                t0 = time.time()
+                z = jax.jit(lambda a: a * 2.0 + 1.0)(
+                    jnp.zeros((8,), jnp.float32))
+                jax.block_until_ready(z)
+                return round(time.time() - t0, 2)
+            except Exception as e:  # noqa: BLE001
+                log({"event": "recover_probe_fail", "try": i,
+                     "error": repr(e)[:160]})
+                time.sleep(10.0 * (i + 1))
+        return None
+
+    (case, phase, params, sub_fn, merge, host_vg, unravel32, x0) = \
+        build_problem()
     state = load_checkpoint(args.ckpt_in)
     if "x64_flat" in state:
         x0 = np.asarray(state["x64_flat"], np.float64)  # resume at full prec
@@ -155,6 +190,7 @@ def main():
     def consider(x, note):
         nonlocal f_best, x_best
         f64, _ = host_vg(x)
+        fault_streak[0] = 0  # a successful full eval counts as progress
         if f64 < f_best:
             f_best, x_best = f64, x.copy()
             save_best(note)
@@ -170,9 +206,24 @@ def main():
     # must not cost more than ~30 s of progress (the confined run lost a full
     # 50-min budget to a mid-block timeout).
     last_seg_save = [time.time()]
+    # Consecutive device faults with no checkpointable progress between them.
+    # Any successful ≥30 s segment run resets it (seg_ckpt below), so a long
+    # fault storm with real progress between faults stays in-process forever;
+    # only a truly dead device (4 faults, zero progress) exits for the outer
+    # relaunch loop.
+    fault_streak = [0]
+
+    # Test-only fault injection: PINN_TEST_FAULT=<n> raises n synthetic
+    # device faults from inside the sprint, exercising recovery rung A
+    # (retry same closures) then rung B (rebuild closures) on CPU.
+    fault_inject = [int(os.environ.get("PINN_TEST_FAULT", "0"))]
 
     def seg_ckpt(k_total, seg_params, hist, *, carry=None):
+        if fault_inject[0] > 0:
+            fault_inject[0] -= 1
+            raise RuntimeError("injected test fault (PINN_TEST_FAULT)")
         now = time.time()
+        fault_streak[0] = 0
         if now - last_seg_save[0] < 30.0:
             return
         last_seg_save[0] = now
@@ -185,170 +236,199 @@ def main():
         })
 
     while time.time() < t_end and f_best > args.target:
-        f_round0 = f_best
-        skip_sprint = args.host_first and first_round
-        first_round = False
-        if not skip_sprint:
-            # ---- f32 sprint ----
-            sub = unravel32(jnp.asarray(np.asarray(x, np.float32)))
-            carry, f32_resume_carry = f32_resume_carry, None
-            stale = 0
-            sprint_iters = 0
-            # Cold L-BFGS at low loss burns ~100 zoom evals/iteration; a
-            # 50-iter segment is then a multi-minute monolithic device
-            # execution and trips the TPU watchdog (observed: "TPU worker
-            # crashed").  Warm up with short segments, then stretch once the
-            # carry steps at ~1 eval/iteration.
-            try:
-                if carry is None:
-                    res = minimize(sub_fn, sub, maxiter=100, segment=10,
-                                   init_carry=None, patience=100,
-                                   target=args.target, on_segment=seg_ckpt)
-                    sub, carry = res.params, res.carry
-                    sprint_iters += res.n_iters
-                    log({"event": "f32_warmup", "iters": sprint_iters,
-                         "loss_f32": float(res.final_loss)})
-                    # Wedge detect: a warmup with ~zero relative decrease
-                    # means the f32 engine cannot certify descent here at
-                    # all — skip the production sprint (it would only burn
-                    # the slot in zoom storms) and hand straight to the
-                    # host-f64 drill.
-                    wrel = ((f_round0 - float(res.final_loss))
-                            / max(abs(f_round0), 1e-30))
-                    if wrel < args.f32_stale_rel:
-                        log({"event": "f32_wedged_skip", "rel_drop": wrel})
-                        x = np.asarray(ravel_pytree(sub)[0], np.float64)
-                        consider(x, "f32_warmup_only")
-                        raise StopIteration  # to the host drill
-                else:
-                    log({"event": "f32_carry_resume"})
-                while time.time() < t_end:
-                    res = minimize(sub_fn, sub, maxiter=args.f32_block,
-                                   segment=args.f32_segment, init_carry=carry,
-                                   patience=100, target=args.target,
-                                   on_segment=seg_ckpt)
-                    sub, carry = res.params, res.carry
-                    sprint_iters += res.n_iters
-                    h = res.loss_history
-                    rel = ((float(h[0]) - float(res.final_loss))
-                           / max(abs(float(h[0])), 1e-30)) if len(h) > 1 else 0.0
-                    log({"event": "f32_block", "iters": sprint_iters,
-                         "loss_f32": float(res.final_loss), "rel_drop": rel})
-                    # Fault insurance: persist every block (a mid-sprint chip
-                    # crash must not cost the sprint).
-                    x_blk = np.asarray(ravel_pytree(sub)[0], np.float64)
-                    save_checkpoint(args.ckpt_out, {
-                        "params": merge(params, sub),
-                        "loss": float(res.final_loss), "x64_flat": x_blk,
-                        "note": f"sprint_{total_f32 + sprint_iters}",
-                        "f32_carry": carry,
-                    })
-                    if float(res.final_loss) <= args.target:
-                        break
-                    stale = stale + 1 if rel < args.f32_stale_rel else 0
-                    if stale >= 2 or res.n_iters < args.f32_block:
-                        break
-                total_f32 += sprint_iters
-                x = np.asarray(ravel_pytree(sub)[0], np.float64)
-                consider(x, f"f32_sprint_{total_f32}")
-            except StopIteration:
-                total_f32 += sprint_iters  # wedged warmup: fall through
-            except Exception as e:
-                # Device fault: the JAX client is dead for this process.  The
-                # block checkpoints above preserved progress; exit and let
-                # the outer loop relaunch with a fresh client.
-                log({"event": "f32_fault", "error": repr(e)[:200]})
-                mfile.close()
-                sys.exit(3)
-            if f_best <= args.target or time.time() >= t_end:
-                break
-
-        # ---- host-f64 drill ----
-        x = x_best.copy()
-        host_carry = None  # x jumped to best; stale memory
-        for b in range(args.host_blocks):
-            if time.time() >= t_end:
-                break
-            try:
-                hres = minimize_host(
-                    host_vg, x, maxiter=args.host_block, patience=200,
-                    target=args.target, init_carry=host_carry,
-                    wall_budget=max(30.0, t_end - time.time()),
-                )
-            except Exception as e:
-                # Device fault: client dead; block checkpoints have the
-                # progress — exit for the outer relaunch loop.
-                log({"event": "host_fault", "error": repr(e)[:200]})
-                mfile.close()
-                sys.exit(3)
-            host_carry = hres.carry
-            x = hres.x
-            total_host += hres.n_iters
-            log({"event": "host_block", "iters": total_host,
-                 "loss_f64": hres.final_loss, "status": hres.converged,
-                 "evals_per_iter": round(
-                     hres.n_evals / max(hres.n_iters, 1), 2)})
-            if hres.final_loss < f_best:
-                f_best, x_best = hres.final_loss, x.copy()
-                save_best(f"host_{total_host}")
-            if hres.final_loss <= args.target:
-                break
-
-        # ---- Adam escape (third rung) ----
-        # A wedge far above the f32 resolution floor (slot A: loss 0.373)
-        # stalls BOTH gradient-descent engines: the zoom line search fails
-        # along every L-BFGS direction while per-step decreases are still
-        # ~1e-3 relative.  Adam takes a step per single evaluation and
-        # measurably un-wedges (round-1 cycles: 1.49 -> 0.42;
-        # scripts/cycle_driver.py).  Fire it only when the whole
-        # sprint+drill round went stale.
-        rel_round = (f_round0 - f_best) / max(abs(f_round0), 1e-30)
-        if (rel_round < args.escape_rel and time.time() < t_end
-                and f_best > args.target):
-            from pinn_elastodynamics_tpu.train.adam import run_adam
-
-            sub = unravel32(jnp.asarray(np.asarray(x_best, np.float32)))
-            loss_aux = lambda s: (sub_fn(s), {})  # noqa: E731
-            # LR keyed to the wedge's loss magnitude: a wedge at 0.373
-            # (plate slot A) needs the curriculum-warmup LR scale, not the
-            # endgame one — 3e-5 there moves ~nothing in 4k iters, while
-            # the consider() guard already rejects any LR that overshoots.
-            if f_best > 3e-2:
-                lr = 3e-4
-            elif f_best > 3e-4:
-                lr = 3e-5
-            else:
-                lr = 1e-5
-            try:
-                # When Adam is the only engine moving (both line-search
-                # engines wedged), the sprint+drill probe between escapes
-                # is pure overhead — stay in the escape while blocks keep
-                # being accepted.
-                for _ in range(10):
-                    if time.time() >= t_end:
-                        break
-                    r = run_adam(loss_aux, sub, lr, iters=args.adam_block,
-                                 segment=200)
-                    f_after = float(r.history["loss"][-1])
-                    log({"event": "adam_escape", "lr": lr,
-                         "iters": args.adam_block, "loss_f32": f_after})
-                    f64 = consider(
-                        np.asarray(ravel_pytree(r.params)[0], np.float64),
-                        "adam_escape")
-                    if f64 < f_round0 * (1 - args.escape_rel):
-                        sub = r.params
+        try:
+            f_round0 = f_best
+            skip_sprint = args.host_first and first_round
+            first_round = False
+            if not skip_sprint:
+                # ---- f32 sprint ----
+                sub = unravel32(jnp.asarray(np.asarray(x, np.float32)))
+                carry, f32_resume_carry = f32_resume_carry, None
+                stale = 0
+                sprint_iters = 0
+                # Cold L-BFGS at low loss burns ~100 zoom evals/iteration; a
+                # 50-iter segment is then a multi-minute monolithic device
+                # execution and trips the TPU watchdog (observed: "TPU worker
+                # crashed").  Warm up with short segments, then stretch once the
+                # carry steps at ~1 eval/iteration.
+                try:
+                    if carry is None:
+                        res = minimize(sub_fn, sub, maxiter=100, segment=10,
+                                       init_carry=None, patience=100,
+                                       target=args.target, on_segment=seg_ckpt)
+                        sub, carry = res.params, res.carry
+                        sprint_iters += res.n_iters
+                        log({"event": "f32_warmup", "iters": sprint_iters,
+                             "loss_f32": float(res.final_loss)})
+                        # Wedge detect: a warmup with ~zero relative decrease
+                        # means the f32 engine cannot certify descent here at
+                        # all — skip the production sprint (it would only burn
+                        # the slot in zoom storms) and hand straight to the
+                        # host-f64 drill.
+                        wrel = ((f_round0 - float(res.final_loss))
+                                / max(abs(f_round0), 1e-30))
+                        if wrel < args.f32_stale_rel:
+                            log({"event": "f32_wedged_skip", "rel_drop": wrel})
+                            x = np.asarray(ravel_pytree(sub)[0], np.float64)
+                            consider(x, "f32_warmup_only")
+                            raise StopIteration  # to the host drill
                     else:
-                        lr *= 0.3
-                        if lr < 3e-6:
+                        log({"event": "f32_carry_resume"})
+                    while time.time() < t_end:
+                        res = minimize(sub_fn, sub, maxiter=args.f32_block,
+                                       segment=args.f32_segment, init_carry=carry,
+                                       patience=100, target=args.target,
+                                       on_segment=seg_ckpt)
+                        sub, carry = res.params, res.carry
+                        sprint_iters += res.n_iters
+                        h = res.loss_history
+                        rel = ((float(h[0]) - float(res.final_loss))
+                               / max(abs(float(h[0])), 1e-30)) if len(h) > 1 else 0.0
+                        log({"event": "f32_block", "iters": sprint_iters,
+                             "loss_f32": float(res.final_loss), "rel_drop": rel})
+                        # Fault insurance: persist every block (a mid-sprint chip
+                        # crash must not cost the sprint).
+                        x_blk = np.asarray(ravel_pytree(sub)[0], np.float64)
+                        save_checkpoint(args.ckpt_out, {
+                            "params": merge(params, sub),
+                            "loss": float(res.final_loss), "x64_flat": x_blk,
+                            "note": f"sprint_{total_f32 + sprint_iters}",
+                            "f32_carry": carry,
+                        })
+                        if float(res.final_loss) <= args.target:
                             break
-            except Exception as e:
-                log({"event": "adam_fault", "error": repr(e)[:200]})
+                        stale = stale + 1 if rel < args.f32_stale_rel else 0
+                        if stale >= 2 or res.n_iters < args.f32_block:
+                            break
+                    total_f32 += sprint_iters
+                    x = np.asarray(ravel_pytree(sub)[0], np.float64)
+                    consider(x, f"f32_sprint_{total_f32}")
+                except StopIteration:
+                    total_f32 += sprint_iters  # wedged warmup: fall through
+                except Exception as e:
+                    # Device fault mid-sprint; block checkpoints preserved the
+                    # progress — hand to the in-process recovery.
+                    log({"event": "f32_fault", "error": repr(e)[:200]})
+                    raise _Fault(e)
+                if f_best <= args.target or time.time() >= t_end:
+                    break
+
+            # ---- host-f64 drill ----
+            x = x_best.copy()
+            host_carry = None  # x jumped to best; stale memory
+            for b in range(args.host_blocks):
+                if time.time() >= t_end:
+                    break
+                try:
+                    hres = minimize_host(
+                        host_vg, x, maxiter=args.host_block, patience=200,
+                        target=args.target, init_carry=host_carry,
+                        wall_budget=max(30.0, t_end - time.time()),
+                    )
+                except Exception as e:
+                    log({"event": "host_fault", "error": repr(e)[:200]})
+                    raise _Fault(e)
+                host_carry = hres.carry
+                x = hres.x
+                total_host += hres.n_iters
+                fault_streak[0] = 0  # a completed host block is progress
+                log({"event": "host_block", "iters": total_host,
+                     "loss_f64": hres.final_loss, "status": hres.converged,
+                     "evals_per_iter": round(
+                         hres.n_evals / max(hres.n_iters, 1), 2)})
+                if hres.final_loss < f_best:
+                    f_best, x_best = hres.final_loss, x.copy()
+                    save_best(f"host_{total_host}")
+                if hres.final_loss <= args.target:
+                    break
+
+            # ---- Adam escape (third rung) ----
+            # A wedge far above the f32 resolution floor (slot A: loss 0.373)
+            # stalls BOTH gradient-descent engines: the zoom line search fails
+            # along every L-BFGS direction while per-step decreases are still
+            # ~1e-3 relative.  Adam takes a step per single evaluation and
+            # measurably un-wedges (round-1 cycles: 1.49 -> 0.42;
+            # scripts/cycle_driver.py).  Fire it only when the whole
+            # sprint+drill round went stale.
+            rel_round = (f_round0 - f_best) / max(abs(f_round0), 1e-30)
+            if (rel_round < args.escape_rel and time.time() < t_end
+                    and f_best > args.target):
+                from pinn_elastodynamics_tpu.train.adam import run_adam
+
+                sub = unravel32(jnp.asarray(np.asarray(x_best, np.float32)))
+                loss_aux = lambda s: (sub_fn(s), {})  # noqa: E731
+                # LR keyed to the wedge's loss magnitude: a wedge at 0.373
+                # (plate slot A) needs the curriculum-warmup LR scale, not the
+                # endgame one — 3e-5 there moves ~nothing in 4k iters, while
+                # the consider() guard already rejects any LR that overshoots.
+                if f_best > 3e-2:
+                    lr = 3e-4
+                elif f_best > 3e-4:
+                    lr = 3e-5
+                else:
+                    lr = 1e-5
+                try:
+                    # When Adam is the only engine moving (both line-search
+                    # engines wedged), the sprint+drill probe between escapes
+                    # is pure overhead — stay in the escape while blocks keep
+                    # being accepted.
+                    for _ in range(10):
+                        if time.time() >= t_end:
+                            break
+                        r = run_adam(loss_aux, sub, lr, iters=args.adam_block,
+                                     segment=200)
+                        f_after = float(r.history["loss"][-1])
+                        log({"event": "adam_escape", "lr": lr,
+                             "iters": args.adam_block, "loss_f32": f_after})
+                        f64 = consider(
+                            np.asarray(ravel_pytree(r.params)[0], np.float64),
+                            "adam_escape")
+                        if f64 < f_round0 * (1 - args.escape_rel):
+                            sub = r.params
+                        else:
+                            lr *= 0.3
+                            if lr < 3e-6:
+                                break
+                except Exception as e:
+                    log({"event": "adam_fault", "error": repr(e)[:200]})
+                    raise _Fault(e)
+                # Restart both engines from the (possibly moved) best point
+                # with fresh state: curvature built elsewhere is stale here.
+                x = x_best.copy()
+                host_carry = None
+        except (_Fault, Exception) as e:  # noqa: BLE001
+            if not isinstance(e, _Fault):
+                log({"event": "round_fault", "error": repr(e)[:200]})
+            fault_streak[0] += 1
+            if fault_streak[0] > 4:
+                log({"event": "inproc_recovery_exhausted"})
                 mfile.close()
                 sys.exit(3)
-            # Restart both engines from the (possibly moved) best point
-            # with fresh state: curvature built elsewhere is stale here.
-            x = x_best.copy()
+            dt = device_probe()
+            if dt is None:
+                log({"event": "inproc_recovery_dead_device"})
+                mfile.close()
+                sys.exit(3)
+            t0r = time.time()
+            rung = "A" if fault_streak[0] == 1 else "B"
+            if rung == "B":
+                # Worker restarted: device buffers (banks, frozen nets) are
+                # dead; rebuild the problem closures in this process.  Pays
+                # the recompile but not the process restart / backend init.
+                if os.path.exists(args.ckpt_out):
+                    args.ckpt_in = args.ckpt_out
+                (case, phase, params, sub_fn, merge, host_vg, unravel32,
+                 x0) = build_problem()
+            st = (load_checkpoint(args.ckpt_out)
+                  if os.path.exists(args.ckpt_out) else {})
+            if "x64_flat" in st:
+                x = np.asarray(st["x64_flat"], np.float64)
+            f32_resume_carry = st.get("f32_carry")
             host_carry = None
+            first_round = args.host_first  # honor --host-first on re-entry
+            log({"event": "inproc_recovered", "rung": rung,
+                 "probe_s": dt, "restore_s": round(time.time() - t0r, 1),
+                 "streak": fault_streak[0]})
 
     save_best("final")
     log({"event": "done", "loss": f_best, "f32_iters": total_f32,
