@@ -103,23 +103,28 @@ class Case:
 
 
 def _phase_loss_fn(case: Case, phase: Phase, params):
-    """Build a loss over the phase's trainable subtree with the rest frozen."""
+    """Build a loss over the phase's trainable subtree with the rest frozen.
+
+    ``phase.trainable`` may be a dotted path ("uv.mlp"): everything outside
+    the path stays frozen — e.g. the Fourier frequency matrix ``uv.B``
+    (utils/treepath.py rationale).
+    """
     if phase.trainable is None:
         return case.loss_fn(phase.loss, phase.scale), params, lambda p, sub: sub
 
-    frozen = dict(params)
+    from ..utils.treepath import path_get, path_set
+
+    frozen = params
     key = phase.trainable
     full_fn = case.loss_fn(phase.loss, phase.scale)
 
     def sub_fn(sub):
-        return full_fn({**frozen, key: sub})
+        return full_fn(path_set(frozen, key, sub))
 
     def merge(p, sub):
-        out = dict(p)
-        out[key] = sub
-        return out
+        return path_set(p, key, sub)
 
-    return sub_fn, params[key], merge
+    return sub_fn, path_get(params, key), merge
 
 
 def mixed_precision_phase_fn(case: Case, phase: Phase, params64):
@@ -152,22 +157,22 @@ def mixed_precision_phase_fn(case: Case, phase: Phase, params64):
 
         return sub_fn, params64, lambda p, sub: sub
 
+    from ..utils.treepath import path_get, path_set
+
     key = phase.trainable
-    frozen32 = {k: to32(v) for k, v in params64.items() if k != key}
+    frozen32 = to32(params64)
 
     def sub_fn(sub64):
         total, _ = spec64.evaluate(
-            case.model, {**frozen32, key: to32(sub64)},
+            case.model, path_set(frozen32, key, to32(sub64)),
             case.material, case.banks,
         )
         return phase.scale * total
 
     def merge(p, sub):
-        out = dict(p)
-        out[key] = sub
-        return out
+        return path_set(p, key, sub)
 
-    return sub_fn, params64[key], merge
+    return sub_fn, path_get(params64, key), merge
 
 
 def run_pipeline(
@@ -282,6 +287,6 @@ def _merge_resumed(case: Case, phase: Phase, params, sub_params):
     left (the checkpoint was taken at or past the phase's maxiter)."""
     if phase.trainable is None:
         return sub_params
-    out = dict(params)
-    out[phase.trainable] = sub_params
-    return out
+    from ..utils.treepath import path_set
+
+    return path_set(params, phase.trainable, sub_params)

@@ -54,14 +54,18 @@ def make_host_phase_vg(case, phase, params, *, chunk_size: int = 512):
     to32 = lambda tree: jax.tree.map(
         lambda a: jnp.asarray(a, jnp.float32), tree
     )
+    from ..utils.treepath import path_get, path_set
+
     key = phase.trainable
     if key is None:
         frozen = None
         sub0 = params
     else:
         # Frozen sub-nets live on device in f32 (the compute dtype).
-        frozen = {k: to32(v) for k, v in params.items() if k != key}
-        sub0 = params[key]
+        # ``key`` may be a dotted path ("uv.mlp"): the whole tree is frozen
+        # in f32 and the trainable subtree spliced in at eval.
+        frozen = to32(params)
+        sub0 = path_get(params, key)
     # Seed x0 from the checkpoint's own dtype (f64 checkpoints keep their
     # full precision on the host side), but build the unravel over f32.
     x0_flat = np.asarray(ravel_pytree(sub0)[0], np.float64)
@@ -70,7 +74,7 @@ def make_host_phase_vg(case, phase, params, *, chunk_size: int = 512):
 
     def fn(zflat32):
         sub32 = unravel32(zflat32)
-        p = {**frozen, key: sub32} if key is not None else sub32
+        p = path_set(frozen, key, sub32) if key is not None else sub32
         coll = ChunkSumCollector(chunk_size)
         total, _comps = spec.evaluate(
             case.model, p, case.material, case.banks, collector=coll

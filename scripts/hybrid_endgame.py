@@ -73,6 +73,11 @@ def main():
     ap.add_argument("--build-kwargs", default=None,
                     help='extra case-builder kwargs as JSON, e.g. '
                          '\'{"fourier": 64, "fourier_scale": 2.0}\'')
+    ap.add_argument("--trainable", default=None,
+                    help="override the phase's trainable subtree with a "
+                         "dotted path, e.g. 'uv.mlp' to freeze the Fourier "
+                         "B matrix (wedge-mechanism A/B, STATUS_r4 handoff "
+                         "item 3)")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend in-process (the axon "
                          "sitecustomize ignores JAX_PLATFORMS=cpu) — for "
@@ -142,6 +147,10 @@ def main():
             build_kwargs.update(json.loads(args.build_kwargs))
         case = mod.build(**build_kwargs)
         phase = case.phases[-1]
+        if args.trainable:
+            import dataclasses
+
+            phase = dataclasses.replace(phase, trainable=args.trainable)
         params = load_checkpoint(args.ckpt_in, jnp.float32)["params"]
         sub_fn, _sub0, merge = _phase_loss_fn(case, phase, params)
         host_vg, x0, unravel32 = make_host_phase_vg(
@@ -167,12 +176,19 @@ def main():
     (case, phase, params, sub_fn, merge, host_vg, unravel32, x0) = \
         build_problem()
     state = load_checkpoint(args.ckpt_in)
-    if "x64_flat" in state:
+    # Resume at full precision — but only when the checkpoint's flat vector
+    # matches this run's trainable subtree (a --trainable override, e.g.
+    # "uv.mlp" freezing the Fourier B matrix, changes the dimension; then
+    # the params pytree path above is the resume source).
+    if "x64_flat" in state and np.asarray(state["x64_flat"]).size == x0.size:
         x0 = np.asarray(state["x64_flat"], np.float64)  # resume at full prec
-    # One-shot f32 carry resume: a relaunch (fault/timeout) must not pay the
-    # 20-40 min cold zoom-storm warmup again — the carry saved alongside
-    # x64_flat matches x0, so the first sprint continues where it left off.
-    f32_resume_carry = state.get("f32_carry")
+        # One-shot f32 carry resume: a relaunch (fault/timeout) must not pay
+        # the 20-40 min cold zoom-storm warmup again — the carry saved
+        # alongside x64_flat matches x0, so the first sprint continues where
+        # it left off.
+        f32_resume_carry = state.get("f32_carry")
+    else:
+        f32_resume_carry = None
 
     f_best, _ = host_vg(x0)
     x_best = x0.copy()
@@ -421,9 +437,12 @@ def main():
                  x0) = build_problem()
             st = (load_checkpoint(args.ckpt_out)
                   if os.path.exists(args.ckpt_out) else {})
-            if "x64_flat" in st:
+            if ("x64_flat" in st
+                    and np.asarray(st["x64_flat"]).size == x0.size):
                 x = np.asarray(st["x64_flat"], np.float64)
-            f32_resume_carry = st.get("f32_carry")
+                f32_resume_carry = st.get("f32_carry")
+            else:
+                f32_resume_carry = None
             host_carry = None
             first_round = args.host_first  # honor --host-first on re-entry
             log({"event": "inproc_recovered", "rung": rung,
