@@ -157,6 +157,32 @@ def make_host_problem_vg(problem, banks, params, *, chunk_size: int = 512):
     return host_vg, x0_flat, unravel32
 
 
+def make_preconditioned_vg(host_vg, d: np.ndarray):
+    """Diagonal (Jacobi) preconditioning wrapper for :func:`minimize_host`.
+
+    Optimizes in whitened coordinates u = x / d: the wrapped value+grad is
+    f̃(u) = f(d∘u) with ∇f̃ = d∘∇f, so L-BFGS's implicit initial Hessian
+    I becomes diag(d)² in the original space.  Use a per-block scale (e.g.
+    d_block ∝ 1/rms(g_block)) when parameter blocks have mismatched
+    gradient/curvature scales — the Fourier frequency matrix B carries ~6×
+    the MLP blocks' gradient RMS at the full-scale semi wedge
+    (docs/STATUS_r4.md handoff item 3).
+
+    Returns (vg_u, to_u, from_u): the whitened value+grad plus coordinate
+    maps.  Minimize with ``minimize_host(vg_u, to_u(x0))`` and map the
+    result back with ``from_u(res.x)``; carries are only valid in one
+    coordinate system.
+    """
+    d = np.asarray(d, np.float64)
+
+    def vg_u(u):
+        f, g = host_vg(d * u)
+        return f, d * g
+
+    return vg_u, (lambda x: np.asarray(x, np.float64) / d), (
+        lambda u: d * np.asarray(u, np.float64))
+
+
 @dataclasses.dataclass
 class HostLBFGSResult:
     x: np.ndarray

@@ -73,6 +73,9 @@ def main():
     ap.add_argument("--build-kwargs", default=None,
                     help='extra case-builder kwargs as JSON, e.g. '
                          '\'{"fourier": 64, "fourier_scale": 2.0}\'')
+    ap.add_argument("--host-precond", action="store_true",
+                    help="Jacobi per-block whitening in the host drill "
+                         "(equalize per-leaf gradient RMS; wedge lever B)")
     ap.add_argument("--trainable", default=None,
                     help="override the phase's trainable subtree with a "
                          "dotted path, e.g. 'uv.mlp' to freeze the Fourier "
@@ -100,6 +103,7 @@ def main():
     from pinn_elastodynamics_tpu.train.lbfgs import minimize
     from pinn_elastodynamics_tpu.train.lbfgs_host import (
         make_host_phase_vg,
+        make_preconditioned_vg,
         minimize_host,
     )
 
@@ -332,20 +336,49 @@ def main():
             # ---- host-f64 drill ----
             x = x_best.copy()
             host_carry = None  # x jumped to best; stale memory
+            drill_vg, to_u, from_u = host_vg, None, None
+            if args.host_precond:
+                # Jacobi per-leaf whitening: equalize gradient RMS across
+                # parameter blocks (the Fourier B matrix carries ~6x the MLP
+                # blocks' gradient RMS at the full-scale semi wedge).
+                try:
+                    _, g0 = host_vg(x)
+                except Exception as e:
+                    log({"event": "host_fault", "error": repr(e)[:200]})
+                    raise _Fault(e)
+                sizes = [int(np.prod(l.shape)) for l in jax.tree.leaves(
+                    unravel32(jnp.zeros((x.size,), jnp.float32)))]
+                d_parts, off = [], 0
+                rmses = []
+                for sz in sizes:
+                    blk = g0[off:off + sz]
+                    rmses.append(max(float(np.sqrt((blk * blk).mean())),
+                                     1e-30))
+                    off += sz
+                ref_rms = float(np.median(rmses))
+                for sz, r in zip(sizes, rmses):
+                    d_parts.append(np.full(sz, ref_rms / r, np.float64))
+                d = np.concatenate(d_parts)
+                log({"event": "host_precond", "d_min": float(d.min()),
+                     "d_max": float(d.max())})
+                drill_vg, to_u, from_u = make_preconditioned_vg(host_vg, d)
+            x_opt = to_u(x) if to_u is not None else x
             for b in range(args.host_blocks):
                 if time.time() >= t_end:
                     break
                 try:
                     hres = minimize_host(
-                        host_vg, x, maxiter=args.host_block, patience=200,
-                        target=args.target, init_carry=host_carry,
+                        drill_vg, x_opt, maxiter=args.host_block,
+                        patience=200, target=args.target,
+                        init_carry=host_carry,
                         wall_budget=max(30.0, t_end - time.time()),
                     )
                 except Exception as e:
                     log({"event": "host_fault", "error": repr(e)[:200]})
                     raise _Fault(e)
                 host_carry = hres.carry
-                x = hres.x
+                x_opt = hres.x
+                x = from_u(x_opt) if from_u is not None else x_opt
                 total_host += hres.n_iters
                 fault_streak[0] = 0  # a completed host block is progress
                 log({"event": "host_block", "iters": total_host,

@@ -112,3 +112,30 @@ def test_host_problem_vg_matches_f32_loss_and_descends():
     p = unravel32(jnp.asarray(np.asarray(res.x, np.float32)))
     assert np.isclose(float(p["log_E"]), res.x[0], atol=1e-6)
     assert np.isclose(float(p["log_rho"]), res.x[1], atol=1e-6)
+
+
+def test_preconditioned_vg_fixes_anisotropy():
+    """Jacobi preconditioning: a badly scaled quadratic that starves plain
+    L-BFGS within a tight budget is solved immediately once whitened."""
+    from pinn_elastodynamics_tpu.train.lbfgs_host import (
+        make_preconditioned_vg,
+    )
+
+    # f(x) = 0.5 sum(h_i x_i^2) with condition number 1e8
+    h = np.array([1e8, 1.0, 1e-0, 1e4, 1e2], np.float64)
+
+    def vg(x):
+        return 0.5 * float(h @ (x * x)), h * x
+
+    x0 = np.ones_like(h)
+    plain = minimize_host(vg, x0, maxiter=3, patience=50)
+
+    d = 1.0 / np.sqrt(h)  # exact whitening
+    vg_u, to_u, from_u = make_preconditioned_vg(vg, d)
+    pre = minimize_host(vg_u, to_u(x0), maxiter=3, patience=50)
+    x_back = from_u(pre.x)
+    assert pre.final_loss < 1e-12 * max(plain.final_loss, 1e-30) or (
+        pre.final_loss < 1e-10)
+    assert np.abs(x_back).max() < 1e-5
+    # coordinate maps invert each other
+    np.testing.assert_allclose(from_u(to_u(x0)), x0, rtol=1e-12)
