@@ -95,9 +95,26 @@ class InverseProblem:
         }
 
         sens = banks["sensors"]
-        fields = self.model.apply(net, sens.xyt)
-        obs = sens.values["uv"]
         iu, iv = spec.index("u"), spec.index("v")
+        if "att" in sens.values:
+            # Acceleration supervision: the f64 CPU probe established the
+            # ρ bias is a property of the objective (loss −26 % in pure
+            # f64 with ρ error flat at ~4.6 %, runs/inverse/
+            # f64_cpu_metrics.jsonl) — ρ is only identified through
+            # div σ = ρ·u_tt at collocation points, where u_tt is the
+            # net's unanchored second derivative.  Matching the net's
+            # u_tt to finite-difference accelerations from adjacent FEM
+            # frames anchors exactly that direction.
+            sjet = self.model.jet(net, sens.xyt, order=2)
+            fields = sjet.f
+            a_obs = sens.values["att"]
+            comps["DATA_TT"] = (
+                mms("DATA_TT", sjet.dtt[:, iu] - a_obs[:, 0], sens.mask)
+                + mms("DATA_TT", sjet.dtt[:, iv] - a_obs[:, 1], sens.mask)
+            )
+        else:
+            fields = self.model.apply(net, sens.xyt)
+        obs = sens.values["uv"]
         comps["DATA"] = (
             mms("DATA", fields[:, iu] - obs[:, 0], sens.mask)
             + mms("DATA", fields[:, iv] - obs[:, 1], sens.mask)
@@ -133,12 +150,19 @@ def sensors_from_fem(
     n_per_frame: int = 200,
     offset: Tuple[float, float] = (0.0, 0.0),
     seed: int = 0,
-) -> Tuple[np.ndarray, np.ndarray]:
-    """Sample sparse (x, y, t) sensor points + observed (u, v) from FEM frames."""
+    accel: bool = False,
+):
+    """Sample sparse (x, y, t) sensor points + observed (u, v) from FEM frames.
+
+    With ``accel=True`` also returns central-difference accelerations
+    (u_tt, v_tt) from the adjacent frames at the same sensor locations —
+    the ρ-identifying observable (see :func:`build`).  Frames must then
+    have both neighbors on disk.
+    """
     from ..eval import fem as fem_mod
 
     rng = np.random.default_rng(seed)
-    pts, uv, s = [], [], []
+    pts, uv, s, att = [], [], [], []
     for f in frames:
         d = fem_mod.load_frame(fem_dir, f)
         idx = rng.choice(d["x"].shape[0], size=n_per_frame, replace=False)
@@ -150,17 +174,34 @@ def sensors_from_fem(
         uv.append(np.stack([d["u"][idx], d["v"][idx]], axis=1))
         s.append(np.stack([d["s11"][idx], d["s22"][idx], d["s12"][idx]],
                           axis=1))
-    return np.concatenate(pts), np.concatenate(uv), np.concatenate(s)
+        if accel:
+            dm = fem_mod.load_frame(fem_dir, int(f) - 1)
+            dp = fem_mod.load_frame(fem_dir, int(f) + 1)
+            dt = frame_time(int(f) + 1) - frame_time(int(f))
+            att.append(np.stack([
+                (dp["u"][idx] - 2 * d["u"][idx] + dm["u"][idx]) / dt**2,
+                (dp["v"][idx] - 2 * d["v"][idx] + dm["v"][idx]) / dt**2,
+            ], axis=1))
+    out = (np.concatenate(pts), np.concatenate(uv), np.concatenate(s))
+    if accel:
+        return out + (np.concatenate(att),)
+    return out
 
 
 def build(
     *, seed: int = 1111, scale: float = 1.0, dtype=np.float32,
     pad_to_multiple_of: int = 1, E_init: float = 1.0, rho_init: float = 0.5,
     n_sensor_frames: int = 20, sensors_per_frame: int = 200,
+    accel_weight: float = 0.0,
 ) -> Tuple[InverseProblem, Dict[str, PointBank]]:
     """Inverse confined-wave problem with FEM sensor data.
 
     Returns (problem, banks); true answer E=2.5, rho=1.0.
+
+    ``accel_weight > 0`` adds finite-difference acceleration supervision
+    at the sensors (DATA_TT) — the ρ-identifying observable (see
+    :meth:`InverseProblem.loss_and_aux`); the sensor frames are then
+    clamped so both FD neighbors exist.
     """
     from . import wave_confined
 
@@ -178,21 +219,31 @@ def build(
     col = smp.lhs_box((-15, -15, 0.0), (15, 15, max_t), s(120000), rng)
     col = smp.exclude_disk(col, xc=0, yc=0, r=2.0, strict=True)
 
-    frames = np.linspace(1, 56, n_sensor_frames).astype(int)
-    pts, uv, s_obs = sensors_from_fem(
+    accel = accel_weight > 0
+    frames = np.linspace(2 if accel else 1, 55 if accel else 56,
+                         n_sensor_frames).astype(int)
+    out = sensors_from_fem(
         wave_confined.FEM_DIR, frames,
         lambda f: f * max_t / 56,
         n_per_frame=s(sensors_per_frame) if scale < 1 else sensors_per_frame,
-        offset=(-15.0, -15.0), seed=seed,
+        offset=(-15.0, -15.0), seed=seed, accel=accel,
     )
+    pts, uv, s_obs = out[:3]
 
     mk = lambda p, v=None: make_bank(
         p, v, dtype=dtype, pad_to_multiple_of=pad_to_multiple_of
     )
+    sensor_values = {"uv": uv, "s": s_obs}
+    if accel:
+        sensor_values["att"] = out[3]
     banks = {
         "collocation": mk(col),
-        "sensors": mk(pts, {"uv": uv, "s": s_obs}),
+        "sensors": mk(pts, sensor_values),
     }
+    kw = {}
+    if accel:
+        base_w = InverseProblem.__dataclass_fields__["weights"].default
+        kw["weights"] = tuple(base_w) + (("DATA_TT", accel_weight),)
     problem = InverseProblem(
         name="inverse_confined_wave",
         model=model,
@@ -200,5 +251,6 @@ def build(
         mu=0.25,
         E_init=E_init,
         rho_init=rho_init,
+        **kw,
     )
     return problem, banks

@@ -132,3 +132,29 @@ def test_inverse_build_with_fem_sensors():
     g = jax.grad(prob.loss_fn(banks))(params)
     assert abs(float(g["log_E"])) > 0
     assert abs(float(g["log_rho"])) >= 0
+
+
+def test_inverse_accel_supervision():
+    """accel_weight adds FD-acceleration sensors (DATA_TT) — the
+    ρ-identifying observable (f64 probe verdict, docs/STATUS_r4.md)."""
+    import jax
+
+    prob, banks = inverse.build(scale=0.02, pad_to_multiple_of=8,
+                                n_sensor_frames=3, sensors_per_frame=30,
+                                accel_weight=2.0)
+    assert "att" in banks["sensors"].values
+    att = np.asarray(banks["sensors"].values["att"])
+    assert att.shape[1] == 2 and np.isfinite(att).all()
+    # FD accelerations carry real signal (the wave is live at some sensors)
+    assert np.abs(att).max() > 1e-3
+    assert dict(prob.weights)["DATA_TT"] == 2.0
+    params = prob.init_params(seed=0)
+    total, comps = prob.loss_and_aux(params, banks)
+    assert np.isfinite(float(comps["DATA_TT"])) and float(comps["DATA_TT"]) > 0
+    g = jax.grad(lambda p: prob.loss_and_aux(p, banks)[0])(params)
+    assert np.isfinite(float(g["log_rho"]))
+    # without the flag the objective is unchanged (no att bank, no term)
+    prob0, banks0 = inverse.build(scale=0.02, pad_to_multiple_of=8,
+                                  n_sensor_frames=3, sensors_per_frame=30)
+    assert "att" not in banks0["sensors"].values
+    assert "DATA_TT" not in dict(prob0.weights)
