@@ -22,10 +22,18 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import time
 
 import jax
 import numpy as np
+
+# Pinned idle-host CPU comparator rate (docs/bench_r4_idle.json, confirmed
+# against the r2 idle 20.7k figure).  A capture whose cpu_evals_per_sec
+# falls well below this ran on a busy host — on this ONE-core VM any
+# concurrent process starves both the CPU comparator and TPU dispatch, and
+# vs_baseline inflates (r4: busy 79x vs idle 45x; VERDICT r4 weak #2).
+_CPU_IDLE_REFERENCE = 23630.0
 
 
 def _build(scale: float, jet_impl: str = "auto"):
@@ -361,6 +369,14 @@ def main():
     ap.add_argument("--stt-maxiter", type=int, default=600)
     args = ap.parse_args()
 
+    # Host-state check BEFORE any bench work: 1-min load average on the
+    # 1-core VM.  Recorded so a busy-host capture is flagged in the JSON
+    # rather than silently shipping an inflated headline (VERDICT r4 #7).
+    try:
+        host_load_start = round(os.getloadavg()[0], 2)
+    except OSError:
+        host_load_start = None
+
     case, scalar_loss, params, n_col = _build(args.scale)
     banks = case.banks
     dev = jax.devices()[0]
@@ -425,6 +441,14 @@ def main():
             stt = {}
 
     vs_baseline = rate / cpu_rate if cpu_rate else None
+    # Busy-host flag: the CPU comparator dropping >10% below the pinned idle
+    # figure, or a loaded 1-min average at start, marks every relative
+    # number in this capture as untrusted (quote the idle capture instead).
+    host_busy = None
+    if cpu_rate is not None:
+        host_busy = bool(cpu_rate < 0.9 * _CPU_IDLE_REFERENCE)
+    if host_load_start is not None and host_load_start > 0.5:
+        host_busy = True
     print(json.dumps({
         "metric": "collocation_evals_per_sec",
         "value": round(rate, 1),
@@ -453,6 +477,9 @@ def main():
         ),
         "lbfgs_iters_measured": lbfgs_iters,
         "cpu_evals_per_sec": round(cpu_rate, 1) if cpu_rate else None,
+        "cpu_idle_reference": _CPU_IDLE_REFERENCE,
+        "host_load_start": host_load_start,
+        "host_busy": host_busy,
         **stt,
         **_flagship_trace_fields(),
     }))

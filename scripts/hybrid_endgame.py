@@ -226,6 +226,8 @@ def main():
     # must not cost more than ~30 s of progress (the confined run lost a full
     # 50-min budget to a mid-block timeout).
     last_seg_save = [time.time()]
+    # Last fault's error string, for repeated-deterministic-bug detection.
+    last_err = [None]
     # Consecutive device faults with no checkpointable progress between them.
     # Any successful ≥30 s segment run resets it (seg_ckpt below), so a long
     # fault storm with real progress between faults stays in-process forever;
@@ -284,13 +286,16 @@ def main():
                         # means the f32 engine cannot certify descent here at
                         # all — skip the production sprint (it would only burn
                         # the slot in zoom storms) and hand straight to the
-                        # host-f64 drill.
-                        wrel = ((f_round0 - float(res.final_loss))
-                                / max(abs(f_round0), 1e-30))
+                        # host-f64 drill.  The decision compares f64 against
+                        # f64 (ADVICE r4: an f32-vs-f64 systematic offset
+                        # larger than f32-stale-rel could falsely trigger or
+                        # suppress the skip when mixing precisions).
+                        x_w = np.asarray(ravel_pytree(sub)[0], np.float64)
+                        f64_w = consider(x_w, "f32_warmup")
+                        wrel = (f_round0 - f64_w) / max(abs(f_round0), 1e-30)
                         if wrel < args.f32_stale_rel:
                             log({"event": "f32_wedged_skip", "rel_drop": wrel})
-                            x = np.asarray(ravel_pytree(sub)[0], np.float64)
-                            consider(x, "f32_warmup_only")
+                            x = x_w
                             raise StopIteration  # to the host drill
                     else:
                         log({"event": "f32_carry_resume"})
@@ -446,8 +451,29 @@ def main():
                 x = x_best.copy()
                 host_carry = None
         except (_Fault, Exception) as e:  # noqa: BLE001
+            inner = (e.args[0] if isinstance(e, _Fault) and e.args else e)
             if not isinstance(e, _Fault):
                 log({"event": "round_fault", "error": repr(e)[:200]})
+            # A deterministic bug is not a device fault: retrying it through
+            # probe+rebuild cycles burns multi-minute recompiles for nothing
+            # (ADVICE r4).  Exit(4) immediately on clearly non-device
+            # exception types, and after 2 consecutive identical error
+            # strings that don't look like device/tunnel faults.
+            err_str = repr(inner)[:200]
+            if isinstance(inner, (KeyError, TypeError, ValueError,
+                                  AttributeError, IndexError)):
+                log({"event": "nondevice_bug_exit", "error": err_str})
+                mfile.close()
+                sys.exit(4)
+            devicey = any(s in err_str for s in (
+                "UNAVAILABLE", "DEADLINE", "INTERNAL", "worker", "tunnel",
+                "UNIMPLEMENTED", "RESOURCE_EXHAUSTED", "PINN_TEST_FAULT"))
+            if not devicey and err_str == last_err[0]:
+                log({"event": "repeated_nondevice_error_exit",
+                     "error": err_str})
+                mfile.close()
+                sys.exit(4)
+            last_err[0] = err_str
             fault_streak[0] += 1
             if fault_streak[0] > 4:
                 log({"event": "inproc_recovery_exhausted"})
@@ -460,16 +486,26 @@ def main():
                 sys.exit(3)
             t0r = time.time()
             rung = "A" if fault_streak[0] == 1 else "B"
-            if rung == "B":
-                # Worker restarted: device buffers (banks, frozen nets) are
-                # dead; rebuild the problem closures in this process.  Pays
-                # the recompile but not the process restart / backend init.
-                if os.path.exists(args.ckpt_out):
-                    args.ckpt_in = args.ckpt_out
-                (case, phase, params, sub_fn, merge, host_vg, unravel32,
-                 x0) = build_problem()
-            st = (load_checkpoint(args.ckpt_out)
-                  if os.path.exists(args.ckpt_out) else {})
+            try:
+                if rung == "B":
+                    # Worker restarted: device buffers (banks, frozen nets)
+                    # are dead; rebuild the problem closures in this process.
+                    # Pays the recompile but not the process restart /
+                    # backend init.
+                    if os.path.exists(args.ckpt_out):
+                        args.ckpt_in = args.ckpt_out
+                    (case, phase, params, sub_fn, merge, host_vg, unravel32,
+                     x0) = build_problem()
+                st = (load_checkpoint(args.ckpt_out)
+                      if os.path.exists(args.ckpt_out) else {})
+            except Exception as e2:  # noqa: BLE001
+                # Recovery itself failed (rebuild fault, partially written
+                # ckpt_out): honor the documented exit(3) contract instead
+                # of dying with a generic traceback (ADVICE r4).
+                log({"event": "recovery_handler_fail", "rung": rung,
+                     "error": repr(e2)[:200]})
+                mfile.close()
+                sys.exit(3)
             if ("x64_flat" in st
                     and np.asarray(st["x64_flat"]).size == x0.size):
                 x = np.asarray(st["x64_flat"], np.float64)

@@ -71,6 +71,10 @@ def main():
         if os.path.exists(p):
             ck_in = p
             break
+    if ck_in is None:
+        sys.exit(f"no resume checkpoint found in {args.out} "
+                 "(expected one of accel/f64_cpu/inverse_host/inverse.ckpt); "
+                 "run the forward inverse pipeline first")
     state = load_checkpoint(ck_in, jnp.float64)
     params = state["params"]
     # Resume curvature only from this objective's own checkpoint: the

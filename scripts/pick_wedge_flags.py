@@ -1,54 +1,108 @@
-"""Decide the wedge-lever flags from the semi A/B arm metrics (r4b slot 2).
+"""Decide the wedge-lever flags from the semi A/B arm metrics (r5 slot 0).
 
-Reads the freeze-B and host-precond arm metrics (hybrid_endgame.py jsonl)
-and prints the hybrid flags the plate continuation should use:
-  - freeze-B arm rel-drop >= 1% and >= precond arm  ->  "--trainable uv.mlp"
-  - precond arm rel-drop >= 1%                      ->  "--host-precond"
-  - neither                                         ->  "" (plain hybrid)
+Round 4 falsified "f32 loss resolution" as the Fourier-arm wedge mechanism
+(host-f64 line search fails identically at semi ~2.5e-3) and named the
+jointly-trained Fourier B matrix as prime suspect (gradient RMS ~6x the MLP
+blocks').  Round 5 runs the deciding A/B to an actual recorded outcome
+(VERDICT r4 item 1): three hybrid_endgame arms from the same wedged
+checkpoint (stage_1_T16.ckpt, 2.549e-3) with the Adam escape disabled
+(--escape-rel 0) so every recorded drop is pure line-search L-BFGS descent:
 
-The control behavior is already measured (docs/STATUS_r4.md queue-3
-findings: both engines wedge at ~2.5e-3 on semi; sprint -0.065%, host
-drill line-search fails in 3-4 iters), so any arm clearing 1% in ~12
-minutes is a mechanism confirmation.
+  ab_control  — plain hybrid (sprint + host drill)
+  ab_freezeb  — --trainable uv.mlp   (freeze the Fourier B matrix)
+  ab_precond  — --host-first --host-precond (Jacobi per-leaf whitening)
+
+Decision metric: relative f64-measured drop from the arm's start loss
+(events 'start'/'measure'/'host_block' only; f32-only numbers are not
+trusted near the wedge — ADVICE r4, bench.py's loss_f64 policy).
+
+Prints the hybrid flags the plate continuation should use on stdout and
+writes runs/wave_semi_fourier/ab_verdict.json with all three trajectories.
 """
 
 import json
 import sys
 
+ARMS = {
+    "control": ("runs/wave_semi_fourier/ab_control_metrics.jsonl", ""),
+    "freezeb": ("runs/wave_semi_fourier/ab_freezeb_metrics.jsonl",
+                "--trainable uv.mlp"),
+    "precond": ("runs/wave_semi_fourier/ab_precond_metrics.jsonl",
+                "--host-precond"),
+}
 
-def best_rel_drop(path):
-    start = None
-    best = None
+
+def arm_summary(path):
+    """f64-measured trajectory of one arm: start, best, rel drop, iters."""
+    start = best = None
+    f64_events = []
+    f32_iters = host_iters = 0
     try:
         with open(path) as f:
             for line in f:
-                rec = json.loads(line)
+                try:
+                    rec = json.loads(line)
+                except ValueError:
+                    continue
                 ev = rec.get("event")
                 if ev == "start" and start is None:
-                    start = rec["loss"]
-                    best = rec["loss"]
-                for k in ("loss_f64", "loss_f32", "loss"):
-                    if k in rec and isinstance(rec[k], (int, float)):
-                        best = min(best, rec[k]) if best is not None else rec[k]
+                    start = best = rec["loss"]
+                    f64_events.append(("start", rec["loss"]))
+                elif ev in ("measure", "host_block") and "loss_f64" in rec:
+                    f64_events.append((ev, rec["loss_f64"]))
+                    if best is None or rec["loss_f64"] < best:
+                        best = rec["loss_f64"]
+                if ev in ("f32_block", "f32_warmup"):
+                    f32_iters = max(f32_iters, rec.get("iters", 0))
+                if ev == "host_block":
+                    host_iters = max(host_iters, rec.get("iters", 0))
     except FileNotFoundError:
         return None
-    if start is None or best is None:
+    if start is None:
         return None
-    return (start - best) / max(abs(start), 1e-30)
+    return {
+        "start_loss": start,
+        "best_f64": best,
+        "rel_drop_f64": (start - best) / max(abs(start), 1e-30),
+        "f32_iters": f32_iters,
+        "host_iters": host_iters,
+        "n_f64_measures": len(f64_events),
+    }
 
 
 def main():
-    fb = best_rel_drop("runs/wave_semi_fourier/freezeb_metrics.jsonl")
-    pc = best_rel_drop("runs/wave_semi_fourier/precond_metrics.jsonl")
-    print(f"freezeb rel drop: {fb}, precond rel drop: {pc}", file=sys.stderr)
-    fb = fb or 0.0
-    pc = pc or 0.0
-    if fb >= 0.01 and fb >= pc:
-        print("--trainable uv.mlp")
-    elif pc >= 0.01:
-        print("--host-precond")
+    out = {}
+    for name, (path, flags) in ARMS.items():
+        s = arm_summary(path)
+        if s is not None:
+            s["flags"] = flags
+            out[name] = s
+        print(f"{name}: {s}", file=sys.stderr)
+
+    ctrl = out.get("control", {}).get("rel_drop_f64", 0.0)
+    fb = out.get("freezeb", {}).get("rel_drop_f64", 0.0)
+    pc = out.get("precond", {}).get("rel_drop_f64", 0.0)
+    # A lever wins if it beats the control by >=1% absolute relative drop —
+    # the control's own Adam-free drop measures the wedge's residual leak.
+    margin = 0.01
+    if fb >= ctrl + margin and fb >= pc:
+        winner, flags = "freezeb", ARMS["freezeb"][1]
+    elif pc >= ctrl + margin:
+        winner, flags = "precond", ARMS["precond"][1]
     else:
-        print("")
+        winner, flags = "control", ""
+    out["verdict"] = {
+        "winner": winner,
+        "flags": flags,
+        "margin_required": margin,
+        "rel_drops": {"control": ctrl, "freezeb": fb, "precond": pc},
+    }
+    try:
+        with open("runs/wave_semi_fourier/ab_verdict.json", "w") as f:
+            json.dump(out, f, indent=1)
+    except OSError as e:
+        print(f"could not write ab_verdict.json: {e}", file=sys.stderr)
+    print(flags)
 
 
 if __name__ == "__main__":
