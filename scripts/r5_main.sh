@@ -1,0 +1,93 @@
+#!/bin/bash
+# r5 main training queue: plate flagship -> confined -> semi, budgets from
+# args, wedge-lever flags from the slot-0 A/B verdict (pick_wedge_flags.py).
+#
+#   bash scripts/r5_main.sh PLATE_END CONF_END SEMI_END   (epoch seconds)
+#
+# Each slot is a relaunch loop around hybrid_endgame with per-block
+# checkpointing; a background committer snapshots runs/ every 20 minutes
+# (VM restarts restore to the last commit — CLAUDE.md).
+set -u
+cd /root/repo
+export PINN_COMPILE_DEADLINE=${PINN_COMPILE_DEADLINE:-1500}
+PLATE_END=${1:?epoch end for plate slot}
+CONF_END=${2:?epoch end for confined slot}
+SEMI_END=${3:?epoch end for semi slot}
+
+( while true; do
+    sleep 1200
+    git add -A runs/ 2>/dev/null
+    git diff --cached --quiet 2>/dev/null \
+      || git commit -q -m "r5 queue: periodic training checkpoint snapshot" \
+      || true
+  done
+) & echo $! > /tmp/r5main_committer.pid
+trap 'kill $(cat /tmp/r5main_committer.pid) 2>/dev/null' EXIT
+
+FLAGS=$(python scripts/pick_wedge_flags.py 2>/dev/null || echo "")
+echo "wedge flags from A/B verdict: '$FLAGS'"
+
+run_slot () {  # name, end_epoch, ckpt_in, ckpt_out, case, target, extra...
+  local name=$1 end=$2 ck_in=$3 ck_out=$4 case=$5 target=$6; shift 6
+  while :; do
+    local left=$(( end - $(date +%s) ))
+    [ "$left" -gt 420 ] || break
+    local H
+    H=$(python3 -c "print((${left}-180)/3600.0)")
+    echo "=== r5 slot $name (H=$H, $(date -u)) ==="
+    # shellcheck disable=SC2086
+    timeout $(( left - 60 )) python scripts/hybrid_endgame.py \
+      "$ck_in" "$ck_out" --case "$case" --target "$target" \
+      --hours "$H" --f32-segment 8 --f32-block 150 --host-block 250 "$@"
+    local rc=$?
+    echo "slot $name rc=$rc"
+    git add -A runs/ && git commit -q -m "r5: $name slot checkpoint" || true
+    [ $rc -eq 0 ] && break
+    [ $rc -eq 4 ] && break   # deterministic bug: relaunching won't help
+    sleep 5
+  done
+}
+
+# Slot 1: plate flagship (VERDICT item 2). Winner flags; resume the r4b best.
+# shellcheck disable=SC2086
+run_slot plate "$PLATE_END" \
+  runs/plate_analytic/hybrid_best.ckpt runs/plate_analytic/hybrid_best.ckpt \
+  plate_hole 7.08e-4 \
+  --build-kwargs '{"fourier": 64, "fourier_scale": 2.0, "bc": "analytic"}' \
+  $FLAGS --metrics runs/plate_analytic/hybrid_metrics.jsonl
+
+# Slot 2: confined Fourier resume (VERDICT item 3). Plain config — its
+# L-BFGS never wedged; changing the trainable partition would only reset
+# the curvature carry.
+run_slot confined "$CONF_END" \
+  runs/wave_confined_fourier/hybrid_best.ckpt \
+  runs/wave_confined_fourier/hybrid_best.ckpt \
+  wave_confined 3.8e-5 --max-t 14 \
+  --build-kwargs '{"fourier": 64, "fourier_scale": 1.0, "bc": "hard"}' \
+  --metrics runs/wave_confined_fourier/hybrid_metrics.jsonl
+
+# Slot 3: semi continuation with the winner, from the best A/B arm artifact
+# (falls back to the r4 hybrid best).
+SEMI_CK=$(python3 - <<'EOF'
+import json, os
+best, pick = None, "runs/wave_semi_fourier/hybrid_best.ckpt"
+try:
+    v = json.load(open("runs/wave_semi_fourier/ab_verdict.json"))
+    w = v.get("verdict", {}).get("winner")
+    c = f"runs/wave_semi_fourier/ab_{w}.ckpt"
+    if w and w != "control" and os.path.exists(c):
+        pick = c
+except Exception:
+    pass
+print(pick)
+EOF
+)
+echo "semi resume checkpoint: $SEMI_CK"
+# shellcheck disable=SC2086
+run_slot semi "$SEMI_END" \
+  "$SEMI_CK" runs/wave_semi_fourier/hybrid_best2.ckpt \
+  wave_semi_infinite 2.7e-5 --max-t 16 \
+  --build-kwargs '{"fourier": 64, "fourier_scale": 1.0, "bc": "hard"}' \
+  $FLAGS --metrics runs/wave_semi_fourier/hybrid2_metrics.jsonl
+
+echo "=== r5 main queue done ($(date -u)) ==="
