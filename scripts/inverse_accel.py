@@ -77,10 +77,13 @@ def main():
                  "run the forward inverse pipeline first")
     state = load_checkpoint(ck_in, jnp.float64)
     params = state["params"]
-    # Resume curvature only from this objective's own checkpoint: the
-    # DATA_TT term changes the landscape, so other engines' memory is stale.
+    # Resume curvature only from this objective's own checkpoint AND the
+    # same accel weight: the DATA_TT term (and its weight) changes the
+    # landscape, so any other engine's memory is stale.
     resume_carry = (state.get("carry")
-                    if ck_in.endswith("accel.ckpt") else None)
+                    if (ck_in.endswith("accel.ckpt")
+                        and state.get("accel_weight") == args.accel_weight)
+                    else None)
     log({"event": "start", "from": ck_in, "scale": args.scale,
          "accel_weight": args.accel_weight,
          "resumed_carry": resume_carry is not None,
@@ -116,7 +119,8 @@ def main():
         if f_now < best:
             best = f_now
             save_checkpoint(ck_out, {"params": params, "loss": best,
-                                     "iters": total, "carry": carry})
+                                     "iters": total, "carry": carry,
+                                     "accel_weight": args.accel_weight})
         if res.n_iters < args.block:
             log({"event": "converged_or_patience", "iters": total})
             break
