@@ -48,6 +48,18 @@ run_slot () {  # name, end_epoch, ckpt_in, ckpt_out, case, target, extra...
   done
 }
 
+measure () {  # ckpt, case, metrics, extra...
+  # Slot timeouts kill hybrid_endgame mid-sprint, leaving the final
+  # checkpoint's descent recorded only in untrusted f32 events; append a
+  # ground-truth CPU f64 measure so bench.py's flagship tracker and the
+  # A/B record see the real endpoint.
+  local ck=$1 case=$2 metrics=$3; shift 3
+  [ -f "$ck" ] || return 0
+  timeout 600 python scripts/measure_ckpt_f64.py "$ck" --case "$case" \
+    --metrics "$metrics" --note slot_end_f64_cpu "$@" || true
+  git add -A runs/ && git commit -q -m "r5: post-slot f64 measure ($case)" || true
+}
+
 # Slot 1: plate flagship (VERDICT item 2). Winner flags; resume the r4b best.
 # shellcheck disable=SC2086
 run_slot plate "$PLATE_END" \
@@ -55,6 +67,9 @@ run_slot plate "$PLATE_END" \
   plate_hole 7.08e-4 \
   --build-kwargs '{"fourier": 64, "fourier_scale": 2.0, "bc": "analytic"}' \
   $FLAGS --metrics runs/plate_analytic/hybrid_metrics.jsonl
+measure runs/plate_analytic/hybrid_best.ckpt plate_hole \
+  runs/plate_analytic/hybrid_metrics.jsonl \
+  --build-kwargs '{"fourier": 64, "fourier_scale": 2.0, "bc": "analytic"}'
 
 # Slot 2: confined Fourier resume (VERDICT item 3). Plain config — its
 # L-BFGS never wedged; changing the trainable partition would only reset
@@ -65,6 +80,9 @@ run_slot confined "$CONF_END" \
   wave_confined 3.8e-5 --max-t 14 \
   --build-kwargs '{"fourier": 64, "fourier_scale": 1.0, "bc": "hard"}' \
   --metrics runs/wave_confined_fourier/hybrid_metrics.jsonl
+measure runs/wave_confined_fourier/hybrid_best.ckpt wave_confined \
+  runs/wave_confined_fourier/hybrid_metrics.jsonl --max-t 14 \
+  --build-kwargs '{"fourier": 64, "fourier_scale": 1.0, "bc": "hard"}'
 
 # Slot 3: semi continuation with the winner, from the best A/B arm artifact
 # (falls back to the r4 hybrid best).
@@ -89,5 +107,8 @@ run_slot semi "$SEMI_END" \
   wave_semi_infinite 2.7e-5 --max-t 16 \
   --build-kwargs '{"fourier": 64, "fourier_scale": 1.0, "bc": "hard"}' \
   $FLAGS --metrics runs/wave_semi_fourier/hybrid2_metrics.jsonl
+measure runs/wave_semi_fourier/hybrid_best2.ckpt wave_semi_infinite \
+  runs/wave_semi_fourier/hybrid2_metrics.jsonl --max-t 16 \
+  --build-kwargs '{"fourier": 64, "fourier_scale": 1.0, "bc": "hard"}'
 
 echo "=== r5 main queue done ($(date -u)) ==="

@@ -50,7 +50,7 @@ def main():
          {"fourier": 64, "fourier_scale": 2.0, "bc": "analytic"},
          [10, 20, 30, 50, 60, 70]),
         ("runs/wave_semi_fourier",
-         ("hybrid_best.ckpt",
+         ("hybrid_best2.ckpt", "ab_freezeb.ckpt", "hybrid_best.ckpt",
           "wave_semi_infinite_final.ckpt", "stage_1_T16.ckpt",
           "stage_1_live.ckpt", "stage_0_T8.ckpt", "stage_0_live.ckpt"),
          wave_semi_infinite,
