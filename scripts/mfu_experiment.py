@@ -160,13 +160,47 @@ def main():
         return arm_descent(args.ckpt, args.iters)
 
     # Orchestrate all arms as serial subprocesses (single-tenant chip;
-    # precision env is trace-time).
+    # precision env is trace-time).  The tail queue kills this orchestrator
+    # with `timeout`, which signals only THIS process — forward termination
+    # to the active child so no orphaned TPU process collides with the next
+    # queue step, and stop launching arms once the deadline is near.
+    import signal
+
+    active = [None]
+
+    def _terminate(signum, frame):
+        if active[0] is not None and active[0].poll() is None:
+            active[0].terminate()
+            try:
+                active[0].wait(timeout=20)
+            except subprocess.TimeoutExpired:
+                active[0].kill()
+        sys.exit(143)
+
+    signal.signal(signal.SIGTERM, _terminate)
+    signal.signal(signal.SIGINT, _terminate)
+    deadline = float(os.environ.get("STEP_DEADLINE_EPOCH",
+                                    os.environ.get("MFU_DEADLINE_EPOCH",
+                                                   "0"))) or None
+
     def run(arm, precision="highest", extra=()):
+        if deadline is not None and time.time() > deadline - 120:
+            print(f"=== skip {arm} (deadline) ===", flush=True)
+            return
         env = dict(os.environ, PINN_KERNEL_PRECISION=precision)
         cmd = [sys.executable, os.path.abspath(__file__), "--arm", arm,
                *extra]
         print(f"=== {arm} precision={precision} ===", flush=True)
-        subprocess.run(cmd, env=env, timeout=2400, check=False)
+        active[0] = subprocess.Popen(cmd, env=env)
+        try:
+            active[0].wait(timeout=2400)
+        except subprocess.TimeoutExpired:
+            active[0].terminate()
+            try:
+                active[0].wait(timeout=20)
+            except subprocess.TimeoutExpired:
+                active[0].kill()
+        active[0] = None
 
     run("profile")
     run("profile_flagship")

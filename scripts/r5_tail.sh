@@ -24,14 +24,16 @@ step () {  # name, budget_s, cmd...
   [ "$(left)" -gt 300 ] || { echo "tail out of time before $name"; return; }
   [ "$budget" -gt "$(left)" ] && budget=$(( $(left) - 120 ))
   echo "=== r5 tail: $name (budget ${budget}s, $(date -u)) ==="
-  timeout "$budget" "$@"
+  # Deadline visible to deadline-aware steps (mfu_experiment stops
+  # launching TPU sub-arms that cannot finish).
+  STEP_DEADLINE_EPOCH=$(( $(date +%s) + budget )) timeout "$budget" "$@"
   echo "$name rc=$?"
   git add -A runs/ docs/ && git commit -q -m "r5 tail: $name" || true
 }
 
 # --- TPU tasks (serial, single-tenant chip) ---
 step mfu_experiment 1800 python scripts/mfu_experiment.py
-step steprate_bisect 1200 bash scripts/steprate_bisect.sh
+step steprate_bisect 2100 bash scripts/steprate_bisect.sh
 step idle_bench 1500 bash -c 'python bench.py > docs/bench_r5_idle.json.tmp && mv docs/bench_r5_idle.json.tmp docs/bench_r5_idle.json && cat docs/bench_r5_idle.json'
 step ablation_rerun 2100 python scripts/ablation.py --out runs/ablation_semi --minutes 4
 

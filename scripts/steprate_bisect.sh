@@ -12,12 +12,29 @@ cd /root/repo
 OUT=docs/steprate_bisect.json
 WT=/tmp/r2wt
 
+# The tail queue bounds this script with `timeout`, which signals only THIS
+# shell — forward termination to the active bench child so no orphaned TPU
+# process collides with the next queue step (single-tenant chip).
+CHILD=""
+trap '[ -n "$CHILD" ] && kill "$CHILD" 2>/dev/null; exit 143' TERM INT
+
+run_bench () {  # workdir  (top-level, NOT in a command substitution: the
+  # TERM trap must see $CHILD)
+  ( cd "$1" && exec timeout 900 python bench.py --skip-cpu --skip-stt \
+      --skip-lbfgs --blocked-iters 10 ) > /tmp/steprate_bench.out &
+  CHILD=$!
+  wait "$CHILD" || true
+  CHILD=""
+}
+
 git worktree add -f "$WT" 92e6167 2>/dev/null || git -C "$WT" checkout -f 92e6167
 echo "=== r2 code ($(date -u)) ==="
-R2=$(cd "$WT" && timeout 900 python bench.py --skip-cpu --skip-stt --skip-lbfgs --blocked-iters 10 | tail -1)
+run_bench "$WT"
+R2=$(tail -1 /tmp/steprate_bench.out)
 echo "$R2"
 echo "=== HEAD code ($(date -u)) ==="
-HD=$(timeout 900 python bench.py --skip-cpu --skip-stt --skip-lbfgs --blocked-iters 10 | tail -1)
+run_bench /root/repo
+HD=$(tail -1 /tmp/steprate_bench.out)
 echo "$HD"
 python3 - "$R2" "$HD" <<'EOF'
 import json, sys, os
