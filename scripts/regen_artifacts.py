@@ -17,6 +17,8 @@ import numpy as np
 
 
 def main():
+    only = sys.argv[1:]  # optional run-dir filter (substring match)
+
     import jax.numpy as jnp
 
     from pinn_elastodynamics_tpu.cases import (
@@ -65,6 +67,8 @@ def main():
          [6, 12, 18, 24, 40]),
     ]
     for run_dir, ck, mod, kwargs, frames in jobs:
+        if only and not any(o in run_dir for o in only):
+            continue
         if isinstance(ck, tuple):
             ck = next(
                 (c for c in ck
