@@ -19,8 +19,10 @@ timeout 900 python scripts/measure_ckpt_f64.py \
 git add -A runs/ && git commit -q -m "r5 outage: confined best f64 measure" || true
 
 # 2. FEM errors at the improved confined best (VERDICT weak #5 hygiene).
+# regen_artifacts does not force a backend; during the outage the default
+# axon init hangs ~25 min, so pin CPU explicitly.
 stop_if_up
-timeout 1500 python scripts/regen_artifacts.py wave_confined_fourier || true
+timeout 1500 env JAX_PLATFORMS=cpu python scripts/regen_artifacts.py wave_confined_fourier || true
 git add -A runs/ docs/ && git commit -q -m "r5 outage: confined FEM regen at 1.66e-4 best" || true
 
 # 3. Inverse E-recovery continuation (VERDICT item 5 follow-through; CPU f64).
