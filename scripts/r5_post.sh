@@ -97,6 +97,23 @@ if [ "$(conf_met)" = unmet ] && [ "$(( CONF_END - $(date +%s) ))" -gt 420 ]; the
     --build-kwargs '{"fourier": 64, "fourier_scale": 1.0, "bc": "hard"}'
 else
   echo "post confined skipped ($(conf_met), $(date -u))"
+  # still CPU-f64-verify the checkpoint that met the bar
+  measure runs/wave_confined_fourier/hybrid_best.ckpt wave_confined \
+    runs/wave_confined_fourier/hybrid_metrics.jsonl --max-t 14 \
+    --build-kwargs '{"fourier": 64, "fourier_scale": 1.0, "bc": "hard"}'
+fi
+
+# --- Stage A2: measurement tail (MFU, steprate bisect, ablation, idle bench) --
+# Chain5's tail stage was superseded (07:45 UTC revision: chain5 killed after
+# its confined child exited, so its 40-min semi slot would not burn a full
+# remote compile); the tail runs here instead, between the confined bar and
+# the long semi slot.  Keep >=2h for semi.
+if [ ! -f docs/bench_r5_idle.json ]; then
+  TAIL_END=$(( $(date +%s) + 4200 ))
+  [ "$TAIL_END" -gt $(( SEMI_END - 7200 )) ] && TAIL_END=$(( SEMI_END - 7200 ))
+  if [ "$(( TAIL_END - $(date +%s) ))" -gt 600 ]; then
+    bash scripts/r5_tail.sh "$TAIL_END"
+  fi
 fi
 
 # --- Stage B: semi long slot --------------------------------------------------
